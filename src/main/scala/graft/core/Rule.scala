@@ -1,0 +1,100 @@
+package graft.core
+
+/** The rule DSL: JSON-Schema keyword semantics as a Scala ADT.
+  *
+  * Each case mirrors one validation keyword of the reference
+  * (dispatcher: reference lib/JSON/Validator/Schema.pm:366-420), but the
+  * engine compiles a whole `Rule` tree into Catalyst `Column` expressions
+  * (see [[RuleCompiler]]) instead of interpreting it row-at-a-time.
+  *
+  * A `Rule` is pure data: serializable to/from JSON rule packs
+  * ([[rulepack.RulePack]]) and buildable from the fluent builder
+  * ([[graft.joi.Joi]]), so all front-ends share one compiler — the same
+  * design as the reference where the Joi DSL lowers to a plain schema
+  * (reference lib/JSON/Validator/Joi.pm:29-40).
+  */
+sealed trait Rule
+
+object Rule {
+  /** Boolean schemas: `true` accepts everything, `false` rejects everything
+    * (reference Schema.pm:369). */
+  case object Always extends Rule
+  case object Never extends Rule
+
+  /** `type` — one or more of object/array/string/number/integer/boolean/null
+    * (reference Util.pm:58-72 `data_type`). In the engine the column's static
+    * DataType decides conformance at compile time; only nullability and the
+    * integer-vs-number distinction remain runtime checks. */
+  final case class TypeIs(types: Seq[String]) extends Rule
+
+  /** `enum` / `const` (reference Schema.pm:580-599) — value equality against
+    * constants, canonical-checksum equality in the reference, native Catalyst
+    * equality here. */
+  final case class Enum(values: Seq[JValue]) extends Rule
+  final case class Const(value: JValue) extends Rule
+
+  /** Numeric bounds; `exclusive` covers both the draft-4 boolean style and
+    * the draft-6 numeric style after normalization at parse time
+    * (reference Draft4.pm:26-42 vs Draft6.pm:47-69). */
+  final case class Minimum(value: Double, exclusive: Boolean = false) extends Rule
+  final case class Maximum(value: Double, exclusive: Boolean = false) extends Rule
+  final case class MultipleOf(value: Double) extends Rule
+
+  /** String rules (reference Schema.pm:805-836). `Pattern` is a partial
+    * (unanchored) match like Perl's `=~`. */
+  final case class MinLength(n: Int) extends Rule
+  final case class MaxLength(n: Int) extends Rule
+  final case class Pattern(regex: String) extends Rule
+  final case class Format(name: String) extends Rule
+
+  /** Array rules (reference Schema.pm:612-670). `Items` applies one schema to
+    * every element; `TupleItems` is the positional form with
+    * `additionalItems` (false caps the length). */
+  final case class MinItems(n: Int) extends Rule
+  final case class MaxItems(n: Int) extends Rule
+  case object UniqueItems extends Rule
+  final case class Items(rule: Rule) extends Rule
+  final case class TupleItems(rules: Seq[Rule], additional: Option[Rule]) extends Rule
+  final case class Contains(rule: Rule, min: Option[Int] = None, max: Option[Int] = None) extends Rule
+
+  /** Object rules (reference Schema.pm:726-803). In the flat-table engine,
+    * properties address columns; `Required` is a static presence check
+    * (missing column), while SQL NULL is JSON null and is caught by
+    * `TypeIs`. */
+  final case class Properties(props: Seq[(String, Rule)]) extends Rule
+  final case class PatternProperties(props: Seq[(String, Rule)]) extends Rule
+  final case class Required(fields: Seq[String]) extends Rule
+  /** `additionalProperties`, pre-resolved by the parser with the sibling
+    * `properties` names and `patternProperties` regexes baked in (the
+    * reference computes the uncovered-key set at runtime,
+    * Schema.pm:762-770; our schema is static so it resolves at compile).
+    * `rule=None` means `additionalProperties:false` (closed world). */
+  final case class ClosedWorld(allowed: Seq[String], patterns: Seq[String], rule: Option[Rule]) extends Rule
+  final case class MinProperties(n: Int) extends Rule
+  final case class MaxProperties(n: Int) extends Rule
+  final case class DependentRequired(deps: Seq[(String, Seq[String])]) extends Rule
+  final case class DependentSchemas(deps: Seq[(String, Rule)]) extends Rule
+
+  /** Combinators (reference Schema.pm:380-399). */
+  final case class Not(rule: Rule) extends Rule
+  final case class AllOf(rules: Seq[Rule]) extends Rule
+  final case class AnyOf(rules: Seq[Rule]) extends Rule
+  final case class OneOf(rules: Seq[Rule]) extends Rule
+  final case class IfThenElse(cond: Rule, thenR: Option[Rule], elseR: Option[Rule]) extends Rule
+
+  /** OpenAPI `nullable` (reference OpenAPIv3.pm:307-401): null bypasses the
+    * wrapped rule. */
+  final case class Nullable(rule: Rule) extends Rule
+
+  /** All sub-rules of a conjunction-style schema object: `{type: ...,
+    * minimum: ..., pattern: ...}` parses to `All(Seq(TypeIs(...), ...))`.
+    * Unlike `AllOf` there is no branch-index path prefixing — these are
+    * keywords of one schema object. */
+  final case class All(rules: Seq[Rule]) extends Rule
+
+  def all(rules: Seq[Rule]): Rule = rules match {
+    case Seq()  => Always
+    case Seq(r) => r
+    case rs     => All(rs)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.core
+
+import graft.functions.Formats
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Turns compiled rules into violation/verdict tables — the engine's analog
+  * of the reference's sorted error list (reference Schema.pm:149-157
+  * `validate` + Error.pm stringification), emitted as DataFrames:
+  *
+  *  - violations: one row per error `(doc_id…, path, rule_id, category,
+  *    message, observed)`, filtered *before* explode so the passing 99.x% of
+  *    rows never produce array data (scale: the explode generator only runs
+  *    on failing rows),
+  *  - verdicts: per-partition pass/fail counts (the north rule's
+  *    "per-partition pass/fail verdict" output).
+  */
+object Violations {
+
+  /** Root-level row validation: the whole row is the instance document. */
+  def validate(df: DataFrame, rule: Rule, idCols: Seq[String],
+      ctx: RuleCompiler.Ctx = RuleCompiler.Ctx()): DataFrame = {
+    val rowCol = struct(df.columns.map(col): _*)
+    val errs = RuleCompiler.compile(rule, df.schema, rowCol, lit(""), ctx)
+    explodeErrors(df, errs, idCols)
+  }
+
+  /** Validation of a single column (instance = that column's value). */
+  def validateColumn(df: DataFrame, rule: Rule, column: String, idCols: Seq[String],
+      ctx: RuleCompiler.Ctx = RuleCompiler.Ctx()): DataFrame = {
+    val dt = df.schema(column).dataType
+    val errs = RuleCompiler.compile(rule, dt, col(column), lit(""), ctx)
+    explodeErrors(df, errs, idCols)
+  }
+
+  private def explodeErrors(df: DataFrame, errs: Column, idCols: Seq[String]): DataFrame = {
+    val keep = idCols.map(col)
+    df.select(keep :+ errs.as("_errs"): _*)
+      .where(size(col("_errs")) > 0)
+      .select(keep :+ explode(col("_errs")).as("_e"): _*)
+      .select(keep ++ Seq(
+        when(col("_e.path") === "", "/").otherwise(col("_e.path")).as("path"),
+        col("_e.rule_id").as("rule_id"),
+        col("_e.category").as("category"),
+        col("_e.message").as("message"),
+        col("_e.observed").as("observed")): _*)
+  }
+
+  /** Deterministic presentation order, as the reference sorts by path
+    * (Schema.pm:154-155); id columns first for stable test output. */
+  def sorted(violations: DataFrame, idCols: Seq[String]): DataFrame =
+    violations.orderBy((idCols ++ Seq("path", "rule_id", "message")).map(col): _*)
+
+  /** Per-partition pass/fail verdicts. `partitionCol` is a data partition
+    * column (e.g. `source` or an ingest date); when None, the physical
+    * `spark_partition_id()` is used. One job: partial aggregation map-side,
+    * single shuffle of the tiny per-partition counters. */
+  def verdictByPartition(df: DataFrame, rule: Rule, partitionCol: Option[String],
+      ctx: RuleCompiler.Ctx = RuleCompiler.Ctx()): DataFrame = {
+    val rowCol = struct(df.columns.map(col): _*)
+    val errs = RuleCompiler.compile(rule, df.schema, rowCol, lit(""), ctx)
+    val part = partitionCol.map(col).getOrElse(spark_partition_id().cast("long").as("pid"))
+    df.select(part.as("partition"), (size(errs) > 0).as("failed"))
+      .groupBy("partition")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("failed").cast("long")).as("n_failed"),
+        (count(lit(1)) - sum(col("failed").cast("long"))).as("n_passed"))
+      .withColumn("verdict", when(col("n_failed") === 0, "pass").otherwise("fail"))
+  }
+
+  /** Violation counts per rule: the compact per-rule verdict used by the
+    * oracle-checked queries (exactly expressible as SQL `sum(case …)`). */
+  def ruleCounts(violations: DataFrame): DataFrame =
+    violations.groupBy("path", "rule_id").agg(count(lit(1)).as("n_violations"))
+}

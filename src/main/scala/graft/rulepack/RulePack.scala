@@ -1,0 +1,212 @@
+package graft.rulepack
+
+import graft.core._
+import graft.core.Rule._
+
+/** JSON rule-pack front-end: parses a JSON-Schema-shaped document into the
+  * [[Rule]] ADT, resolving in-document and cross-document `$ref` pointers on
+  * the driver before compilation — the analog of the reference's
+  * resolve-before-validate contract (reference lib/JSON/Validator/
+  * Schema.pm:102-147 `resolve`, Store.pm:62-100 `Store::resolve`).
+  *
+  * The [[Store]] is the rule-pack registry (id → document), mirroring the
+  * reference's `JSON::Validator::Store` (Store.pm:21-49). Resolution inlines
+  * referenced schemas into one closed rule tree (the analog of `bundle`,
+  * Schema.pm:44-65): the compiled plan ships to executors self-contained.
+  * Cyclic references are rejected at parse time — columnar data is acyclic,
+  * so recursive schemas have no instance to apply to (reference handles
+  * cycles at runtime instead, Schema.pm:372-376).
+  */
+object RulePack {
+
+  final case class Store(docs: Map[String, JValue] = Map.empty) {
+    def resolve(uri: String): Option[JValue] = {
+      val (doc, frag) = uri.split("#", 2) match {
+        case Array(d)    => (d, "")
+        case Array(d, f) => (d, f)
+      }
+      docs.get(doc).flatMap(pointer(_, frag))
+    }
+  }
+
+  /** JSON-pointer navigation (reference Schema.pm:260-326 `get`). */
+  def pointer(doc: JValue, frag: String): Option[JValue] = {
+    val parts = frag.split("/").filter(_.nonEmpty)
+      .map(_.replace("~1", "/").replace("~0", "~"))
+    parts.foldLeft(Option(doc)) {
+      case (Some(o: JObj), key) => o.get(key)
+      case (Some(JArr(items)), idx) => idx.toIntOption.flatMap(items.lift)
+      case _ => None
+    }
+  }
+
+  def parse(json: String, store: Store = Store()): Rule =
+    fromJson(JValue.parse(json), store)
+
+  def fromJson(root: JValue, store: Store = Store()): Rule = {
+    def resolveRef(uri: String, seen: Set[String]): JValue = {
+      if (seen.contains(uri))
+        throw new IllegalArgumentException(s"recursive \\$$ref not supported in columnar rules: $uri")
+      val target =
+        if (uri.startsWith("#")) pointer(root, uri.drop(1))
+        else store.resolve(uri)
+      target.getOrElse(throw new IllegalArgumentException(s"unresolvable \\$$ref: $uri"))
+    }
+
+    def build(v: JValue, seen: Set[String]): Rule = v match {
+      case JBool(true)  => Always
+      case JBool(false) => Never
+      case o: JObj      => buildObj(o, seen)
+      case other => throw new IllegalArgumentException(s"schema must be object or boolean, got ${other.render}")
+    }
+
+    def subRule(v: JValue, seen: Set[String]): Rule = build(v, seen)
+
+    def buildObj(o: JObj, seen: Set[String]): Rule = {
+      // $ref: siblings are merged like the reference's _state ref-following
+      // (Schema.pm:353-364: `{%$schema, %$ref_target}` semantics)
+      o.get("$ref") match {
+        case Some(JStr(uri)) =>
+          val target = resolveRef(uri, seen)
+          val rest = JObj(o.fields.filterNot(_._1 == "$ref"))
+          val refRule = build(target, seen + uri)
+          val restRule = if (rest.fields.exists(f => !metaKeys(f._1))) buildObj(rest, seen) else Always
+          return Rule.all(Seq(refRule, restRule).filter(_ != Always)) match {
+            case All(Seq()) => Always
+            case r          => r
+          }
+        case _ =>
+      }
+
+      val rules = Seq.newBuilder[Rule]
+
+      o.get("type").foreach {
+        case JStr(t)     => rules += TypeIs(Seq(t))
+        case JArr(items) => rules += TypeIs(items.collect { case JStr(t) => t })
+        case _           =>
+      }
+      o.get("enum").foreach { case JArr(items) => rules += Enum(items); case _ => }
+      o.get("const").foreach(v => rules += Const(v))
+
+      // numeric bounds — draft4 boolean-style exclusive* modifies the bound
+      // (Draft4.pm:26-42); draft6+ numeric-style is its own bound
+      // (Draft6.pm:47-69); both normalized here.
+      val exMinB = o.get("exclusiveMinimum").contains(JBool(true))
+      val exMaxB = o.get("exclusiveMaximum").contains(JBool(true))
+      o.get("minimum").foreach { case n: JValue => numOf(n).foreach(d => rules += Minimum(d, exMinB)) }
+      o.get("maximum").foreach { case n: JValue => numOf(n).foreach(d => rules += Maximum(d, exMaxB)) }
+      o.get("exclusiveMinimum").foreach(n => numOf(n).foreach(d => rules += Minimum(d, exclusive = true)))
+      o.get("exclusiveMaximum").foreach(n => numOf(n).foreach(d => rules += Maximum(d, exclusive = true)))
+      o.get("multipleOf").foreach(n => numOf(n).foreach(d => rules += MultipleOf(d)))
+
+      o.get("minLength").foreach(n => intOf(n).foreach(i => rules += MinLength(i)))
+      o.get("maxLength").foreach(n => intOf(n).foreach(i => rules += MaxLength(i)))
+      o.get("pattern").foreach { case JStr(p) => rules += Pattern(p); case _ => }
+      o.get("format").foreach { case JStr(f) => rules += Format(f); case _ => }
+
+      o.get("minItems").foreach(n => intOf(n).foreach(i => rules += MinItems(i)))
+      o.get("maxItems").foreach(n => intOf(n).foreach(i => rules += MaxItems(i)))
+      if (o.get("uniqueItems").exists(truthy)) rules += UniqueItems
+      o.get("items").foreach {
+        case JArr(schemas) =>
+          val additional = o.get("additionalItems") match {
+            case Some(JBool(false)) => None
+            case Some(s)            => Some(subRule(s, seen))
+            case None               => Some(Always)
+          }
+          rules += TupleItems(schemas.map(subRule(_, seen)), additional)
+        case s => rules += Items(subRule(s, seen))
+      }
+      o.get("contains").foreach { s =>
+        val minC = o.get("minContains").flatMap(intOf)
+        val maxC = o.get("maxContains").flatMap(intOf)
+        rules += Contains(subRule(s, seen), minC, maxC)
+      }
+
+      val propNames = o.get("properties") match {
+        case Some(JObj(fields)) => fields.map(_._1)
+        case _ => Vector.empty
+      }
+      val patternRes = o.get("patternProperties") match {
+        case Some(JObj(fields)) => fields.map(_._1)
+        case _ => Vector.empty
+      }
+      o.get("properties").foreach {
+        case JObj(fields) => rules += Properties(fields.map { case (k, s) => k -> subRule(s, seen) })
+        case _ =>
+      }
+      o.get("patternProperties").foreach {
+        case JObj(fields) => rules += PatternProperties(fields.map { case (k, s) => k -> subRule(s, seen) })
+        case _ =>
+      }
+      o.get("required").foreach {
+        case JArr(items) => rules += Required(items.collect { case JStr(s) => s })
+        case _ =>
+      }
+      o.get("additionalProperties").foreach {
+        case JBool(false) => rules += ClosedWorld(propNames, patternRes, None)
+        case JBool(true)  =>
+        case s            => rules += ClosedWorld(propNames, patternRes, Some(subRule(s, seen)))
+      }
+      o.get("minProperties").foreach(n => intOf(n).foreach(i => rules += MinProperties(i)))
+      o.get("maxProperties").foreach(n => intOf(n).foreach(i => rules += MaxProperties(i)))
+
+      // draft4/6/7 `dependencies` (array form = required, hash form = schema;
+      // Draft4.pm:141-159) and the 2019-09 split keywords
+      o.get("dependencies").foreach {
+        case JObj(fields) =>
+          val reqDeps = fields.collect { case (k, JArr(items)) => k -> items.collect { case JStr(s) => s }.toSeq }
+          val schDeps = fields.collect { case (k, s: JObj) => k -> subRule(s, seen) }
+          if (reqDeps.nonEmpty) rules += DependentRequired(reqDeps)
+          if (schDeps.nonEmpty) rules += DependentSchemas(schDeps)
+        case _ =>
+      }
+      o.get("dependentRequired").foreach {
+        case JObj(fields) =>
+          rules += DependentRequired(fields.map { case (k, JArr(items)) => k -> items.collect { case JStr(s) => s }.toSeq; case (k, _) => k -> Seq.empty[String] })
+        case _ =>
+      }
+      o.get("dependentSchemas").foreach {
+        case JObj(fields) => rules += DependentSchemas(fields.map { case (k, s) => k -> subRule(s, seen) })
+        case _ =>
+      }
+
+      o.get("not").foreach(s => rules += Not(subRule(s, seen)))
+      o.get("allOf").foreach { case JArr(items) => rules += AllOf(items.map(subRule(_, seen))); case _ => }
+      o.get("anyOf").foreach { case JArr(items) => rules += AnyOf(items.map(subRule(_, seen))); case _ => }
+      o.get("oneOf").foreach { case JArr(items) => rules += OneOf(items.map(subRule(_, seen))); case _ => }
+      o.get("if").foreach { condS =>
+        rules += IfThenElse(subRule(condS, seen),
+          o.get("then").map(subRule(_, seen)), o.get("else").map(subRule(_, seen)))
+      }
+      if (o.get("nullable").exists(truthy)) {
+        val inner = rules.result()
+        return Nullable(Rule.all(inner))
+      }
+
+      Rule.all(rules.result())
+    }
+
+    build(root, Set.empty)
+  }
+
+  private val metaKeys = Set("$schema", "$id", "id", "$anchor", "$comment",
+    "title", "description", "definitions", "$defs", "examples", "default",
+    "then", "else", "minContains", "maxContains", "additionalItems")
+
+  private def numOf(v: JValue): Option[Double] = v match {
+    case JInt(i) => Some(i.toDouble)
+    case JNum(d) => Some(d)
+    case _       => None
+  }
+  private def intOf(v: JValue): Option[Int] = v match {
+    case JInt(i) => Some(i.toInt)
+    case JNum(d) if d == d.floor => Some(d.toInt)
+    case _       => None
+  }
+  private def truthy(v: JValue): Boolean = v match {
+    case JBool(b) => b
+    case JInt(i)  => i != 0
+    case _        => false
+  }
+}

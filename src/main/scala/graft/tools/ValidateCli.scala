@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.core.{RuleCompiler, Violations}
+import graft.rulepack.RulePack
+import org.apache.spark.sql.SparkSession
+
+/** Command-line surface of the engine: validate a parquet table against a
+  * JSON rule pack and write/print the violation + verdict tables.
+  *
+  * Usage: ValidateCli <table.parquet> <rulepack.json> <idCol[,idCol…]> [outDir]
+  *
+  * With no outDir the violations print to stdout (driver-side `show`,
+  * capped); with outDir they are written as parquet — the scale path.
+  */
+object ValidateCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ValidateCli <table.parquet> <rulepack.json> <idCols> [outDir]")
+    val Array(table, packPath, idColsArg) = args.take(3)
+    val outDir = args.lift(3)
+    val idCols = idColsArg.split(",").toSeq
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-validate")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val packJson = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(packPath)), "UTF-8")
+    val rule = RulePack.parse(packJson)
+    val df = spark.read.parquet(table)
+
+    val violations = Violations.sorted(Violations.validate(df, rule, idCols), idCols)
+    val verdicts = Violations.verdictByPartition(df, rule, None)
+
+    outDir match {
+      case Some(dir) =>
+        violations.write.mode("overwrite").parquet(s"$dir/violations")
+        verdicts.write.mode("overwrite").parquet(s"$dir/verdicts")
+        println(s"wrote violations + verdicts under $dir")
+      case None =>
+        println(s"== violations (first 50) of ${df.count()} rows:")
+        violations.show(50, truncate = false)
+        println("== per-partition verdicts:")
+        verdicts.orderBy("partition").show(100, truncate = false)
+    }
+    spark.stop()
+  }
+}
