@@ -86,6 +86,15 @@ object Rule {
     * wrapped rule. */
   final case class Nullable(rule: Rule) extends Rule
 
+  /** Custom predicate — the engine's analog of the reference's extension
+    * points (format code-refs Schema.pm:21, `_validate_type_*` subclassing
+    * Schema.pm:876-879): a named Column predicate over the target value.
+    * Used for cross-column invariants like `n_tok === size(tokens)` that
+    * JSON-Schema keywords can't express. Not JSON-serializable (Scala API
+    * only). */
+  final case class Predicate(ruleId: String, message: String,
+      pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) extends Rule
+
   /** All sub-rules of a conjunction-style schema object: `{type: ...,
     * minimum: ..., pattern: ...}` parses to `All(Seq(TypeIs(...), ...))`.
     * Unlike `AllOf` there is no branch-index path prefixing — these are

@@ -359,6 +359,10 @@ object RuleCompiler {
       case Nullable(sub) =>
         when(target.isNull, noErrors).otherwise(compile(sub, dt, target, path, ctx))
 
+      case Predicate(ruleId, message, pred) =>
+        check(pred(target), mkErr(path, ruleId, lit("custom"), lit(message),
+          observedOf(target, dt)), target)
+
       // keyword not applicable to this column type → passes (JSON-Schema
       // semantics: keywords constrain only their own type)
       case _ => noErrors

@@ -1,0 +1,51 @@
+package graft.global
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-global uniqueness — the scaled-up `uniqueItems` (reference
+  * lib/JSON/Validator/Draft4.pm:101-113 checks a per-array checksum seen-set;
+  * here the "array" is the whole 10^12-row table).
+  *
+  * Two-phase hash-partitioned plan (SURVEY.md §2.4):
+  *   phase 1 — `groupBy(key).count()`: Catalyst emits partial (map-side)
+  *   aggregation before the hash shuffle, so each executor ships one row per
+  *   distinct key per partition, not one per input row;
+  *   phase 2 — `count > 1` filter yields the (normally tiny) duplicate-key
+  *   set; violation rows come from a join back against the facts, which AQE
+  *   converts to a broadcast join when the dup set is small.
+  *
+  * No `Window.partitionBy` — a window would shuffle and sort the entire fact
+  * table; the groupBy plan shuffles only aggregated counts.
+  */
+object Uniqueness {
+
+  /** Duplicate keys with their multiplicities. */
+  def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > 1)
+
+  /** Violation rows `(keyCols…, rule_id, observed)` — one per duplicated
+    * fact row. Equi-join back on the key; AQE broadcasts the dup side when
+    * small. */
+  def violations(df: DataFrame, keyCols: Seq[String], ruleId: String = "unique"): DataFrame = {
+    val dups = duplicateKeys(df, keyCols)
+    df.join(dups, keyCols, "inner")
+      .select(keyCols.map(col) :+
+        lit(ruleId).as("rule_id") :+
+        concat(lit("duplicate key seen "), col("n_rows"), lit(" times")).as("observed"): _*)
+  }
+
+  /** Boolean verdict column form: per-key pass/fail counts for the verdict
+    * table, single shuffle. */
+  def verdict(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val dupRows = duplicateKeys(df, keyCols).agg(
+      count(lit(1)).as("n_dup_keys"),
+      coalesce(sum(col("n_rows")), lit(0L)).as("n_dup_rows"))
+    dupRows.select(
+      lit("unique:" + keyCols.mkString(",")).as("rule_id"),
+      col("n_dup_keys"), col("n_dup_rows"),
+      when(col("n_dup_keys") === 0, "pass").otherwise("fail").as("verdict"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift checks (north_rule): fixed-width histograms as the
+  * sketch, KL divergence and PSI (population stability index) as the
+  * distances, computed reference-snapshot vs current-snapshot.
+  *
+  * Histogram binning is a single `groupBy(bin).count()` — partial agg +
+  * constant-size shuffle, the same scale shape as [[ColumnStats]]. Bin
+  * counts are exact integers (deterministic across partitionings and
+  * engines); only the final PSI/KL arithmetic is floating point.
+  *
+  * For quantile-based drift the built-in `percentile_approx` (a KLL-style
+  * rank sketch; see PAPERS.md quantile-sketch survey) serves as the stored
+  * reference sketch — a custom t-digest `TypedImperativeAggregate` is the
+  * upgrade path if finer tails are needed (SURVEY.md §7.5).
+  */
+object Drift {
+
+  /** Fixed-width histogram of `valueCol` over [lo, hi) with `bins` buckets;
+    * under/overflow clamp into the edge buckets so mass is conserved. */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    val rawBin = floor((col(valueCol).cast("double") - lo) / width).cast("int")
+    val bin = least(greatest(rawBin, lit(0)), lit(bins - 1))
+    df.where(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** PSI between two histograms over the same binning:
+    * `sum((p-q) * ln(p/q))` with epsilon-clamped proportions (standard
+    * practice so empty bins don't blow up the log). PSI > 0.2 is the usual
+    * "significant shift" alert threshold. */
+  def psi(reference: DataFrame, current: DataFrame, eps: Double = 1e-6): DataFrame =
+    joinedProportions(reference, current, eps)
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+
+  /** KL(P || Q) with the same clamping. */
+  def kl(reference: DataFrame, current: DataFrame, eps: Double = 1e-6): DataFrame =
+    joinedProportions(reference, current, eps)
+      .agg(sum(col("p") * log(col("p") / col("q"))).as("kl"))
+
+  private def joinedProportions(reference: DataFrame, current: DataFrame, eps: Double): DataFrame = {
+    val p = proportions(reference).withColumnRenamed("prop", "p")
+    val q = proportions(current).withColumnRenamed("prop", "q")
+    // histograms are tiny (≤ thousands of bins): broadcast outer join
+    p.join(broadcast(q), Seq("bin"), "full_outer")
+      .select(
+        col("bin"),
+        greatest(coalesce(col("p"), lit(0.0)), lit(eps)).as("p"),
+        greatest(coalesce(col("q"), lit(0.0)), lit(eps)).as("q"))
+  }
+
+  private def proportions(hist: DataFrame): DataFrame = {
+    val total = hist.agg(sum(col("n")).as("total"))
+    hist.crossJoin(broadcast(total))
+      .select(col("bin"), (col("n").cast("double") / col("total")).as("prop"))
+  }
+
+  /** Drift verdict in the violation-row shape: fires when PSI exceeds
+    * `threshold`. */
+  def psiRule(reference: DataFrame, current: DataFrame, ruleId: String,
+      threshold: Double = 0.2): DataFrame =
+    psi(reference, current).select(
+      lit(ruleId).as("rule_id"),
+      col("psi"),
+      when(col("psi") > threshold, "fail").otherwise("pass").as("verdict"))
+}

@@ -1,0 +1,78 @@
+package graft.tools
+
+import graft.core.{Rule, Violations}
+import graft.core.Rule._
+import graft.global.{Referential, Uniqueness}
+import graft.sources.TokenGen
+import graft.stats.{ColumnStats, Drift}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Flagship end-to-end audit of a tokenized-sequence table (the north_rule
+  * pipeline): row-local rule pack + global uniqueness + referential
+  * membership + column stats + distribution drift, in four jobs total:
+  *
+  *   1. one scan → row-local violations + per-partition verdicts + stats
+  *   2. uniqueness (hash shuffle of aggregated counts only)
+  *   3. referential anti-join (broadcast dim)
+  *   4. drift histogram (constant-size shuffle)
+  *
+  * Usage: AuditCli [nRows] [maxLen] — synthesizes the table when no path is
+  * given (deterministic generator, TokenGen).
+  */
+object AuditCli {
+
+  /** The standard rule pack for the token table (SURVEY.md §7.4). */
+  def tokenRulePack(vocabSize: Int = TokenGen.VocabSize, maxLen: Int = 8192): Rule = All(Seq(
+    Properties(Seq(
+      "n_tok" -> All(Seq(TypeIs(Seq("integer")), Minimum(0), Maximum(maxLen))),
+      "doc_id" -> All(Seq(TypeIs(Seq("string")), Pattern("^doc-\\d{12}$"))),
+      "tokens" -> Items(All(Seq(Minimum(0), Maximum(vocabSize - 1)))))),
+    Required(Seq("doc_id", "source", "n_tok")),
+    Predicate("n_tok_invariant", "n_tok must equal size(tokens)",
+      row => row.getField("n_tok") === size(row.getField("tokens")))))
+
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(100000L)
+    val maxLen = args.lift(1).map(_.toLong).getOrElse(256L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-audit")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val facts = TokenGen.tokenSequences(spark, n, numPartitions = cpus.toInt * 2, maxLen = maxLen)
+    val dim = TokenGen.allowedSources(spark)
+    val pack = tokenRulePack(maxLen = maxLen.toInt)
+
+    println(s"== auditing $n synthesized rows (maxLen=$maxLen) ==")
+
+    val rowViolations = Violations.validate(facts, pack, Seq("doc_id"))
+    println("-- row-local violations by rule:")
+    Violations.ruleCounts(rowViolations).orderBy("path", "rule_id").show(50, truncate = false)
+
+    println("-- uniqueness verdict (doc_id):")
+    Uniqueness.verdict(facts, Seq("doc_id")).show(truncate = false)
+
+    println("-- referential violations (source ∉ allowed_sources):")
+    println(s"   n = ${Referential.violations(facts, "source", dim, "source").count()}")
+
+    println("-- column profile:")
+    ColumnStats.profile(facts).orderBy("column").show(truncate = false)
+
+    println("-- drift vs reference window (first half vs second half):")
+    val h1 = Drift.histogram(facts.where(col("doc_id") < format_string("doc-%012d", lit(n / 2))), "n_tok", 0, maxLen.toDouble, 32)
+    val h2 = Drift.histogram(facts.where(col("doc_id") >= format_string("doc-%012d", lit(n / 2))), "n_tok", 0, maxLen.toDouble, 32)
+    Drift.psiRule(h1, h2, "drift:n_tok").show(truncate = false)
+
+    println(f"== audit wall time: ${(System.nanoTime() - t0) / 1e9}%.1f s ==")
+    spark.stop()
+  }
+}
