@@ -1,13 +1,597 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{Rule, Violations}
+import graft.core.Rule._
+import graft.global.{Referential, Uniqueness}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.stats.{ColumnStats, Drift}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2 + the training-data pipeline ops), each with an ANSI-SQL
+  * oracle the driver runs in DuckDB over the same parquet tables.
+  *
+  * Determinism rules used throughout (so Spark and DuckDB hash-match):
+  *  - money/double sums go through DECIMAL (exact, order-independent), then
+  *    `round(...,2)` and a final cast to DOUBLE;
+  *  - per-row double arithmetic (ratios of exact ints, IEEE ops in fixed
+  *    order) is emitted raw — bit-identical across engines;
+  *  - every result has a total ORDER BY;
+  *  - counts are BIGINT in both engines; `size()`/`length()` are cast to
+  *    LONG to match DuckDB's BIGINT.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** decimal-exact sum of a double expression, rounded and emitted as
+    * double: `round(sum(CAST(x AS DECIMAL(20,4))),2)::DOUBLE`. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(20,4)")), scale).cast("double")
+
+  // ---------------------------------------------------------------- rules
+
+  /** Numeric/enum rule pack over lineitem — violation *counts* per rule
+    * (numbers stay internal; only exact BIGINT counts are emitted). */
+  private val lineitemPack: Rule = All(Seq(
+    Properties(Seq(
+      "l_quantity" -> All(Seq(Minimum(1), Maximum(45))),
+      "l_discount" -> Maximum(0.05),
+      "l_tax" -> Maximum(0.1),                        // never fires (max 0.08)
+      "l_returnflag" -> Enum(Seq(core.JStr("A"), core.JStr("N"))),
+      "l_linestatus" -> Enum(Seq(core.JStr("O"), core.JStr("F"))))), // never fires
+    Required(Seq("l_orderkey", "l_partkey"))))        // never fires
+
+  /** String-only rule pack over orders — violation *rows* with observed
+    * values (strings are format-stable across engines). */
+  private val ordersPack: Rule = Properties(Seq(
+    "o_orderstatus" -> Enum(Seq(core.JStr("O"), core.JStr("F"))),
+    "o_orderpriority" -> Pattern("^[1-3]-")))
+
+  /** Flagship: the lineitem rule-pack verdict on sf0.001 (driver smoke
+    * checks rows > 0 — quantities above 45 exist at every sf). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Violations.ruleCounts(
+      Violations.validate(t(spark, "/root/testdata/sf0.001", "lineitem"), lineitemPack, Seq("l_orderkey")))
+      .orderBy("path", "rule_id")
+
+  // -------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (Catalyst-native: pushdown, joins, windows) ----
+
+    "q01_pricing_summary" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          round(round(sum(col("l_quantity").cast("decimal(20,4)")), 2).cast("double") / count(lit(1)), 6).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_filter_topn" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 49 && col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    "q03_revenue_by_nation" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy("n_name")
+    }),
+
+    "q04_window_latest_order" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    }),
+
+    "q05_customers_no_recent_orders" -> ((s, dir) => {
+      val recent = t(s, dir, "orders").where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q06_orders_with_max_qty_item" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").where(col("l_quantity") >= 50)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "q07_setop_parts" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val a = li.where(col("l_quantity") >= 49).select("l_partkey").distinct()
+      val b = li.where(col("l_discount") === 0.0).select("l_partkey").distinct()
+      a.except(b).orderBy("l_partkey")
+    }),
+
+    "q08_rollup_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)),
+
+    "q09_nation_customer_stats" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+        .orderBy("n_name")),
+
+    "q10_events_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long").as("bucket_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("sum_value"))
+        .orderBy("bucket_start", "event_type")),
+
+    // ---- validation engine (row-local packs, uniqueness, referential,
+    //      stats, drift, formats) ----
+
+    "v01_rule_counts_lineitem" -> ((s, dir) =>
+      Violations.ruleCounts(
+        Violations.validate(t(s, dir, "lineitem"), lineitemPack, Seq("l_orderkey")))
+        .orderBy("path", "rule_id")),
+
+    "v02_violation_rows_orders" -> ((s, dir) =>
+      Violations.validate(t(s, dir, "orders"), ordersPack, Seq("o_orderkey"))
+        .select("o_orderkey", "path", "rule_id", "observed")
+        .orderBy("o_orderkey", "path")),
+
+    "v03_unique_dup_keys" -> ((s, dir) =>
+      Uniqueness.duplicateKeys(t(s, dir, "lineitem"), Seq("l_orderkey"))
+        .orderBy("l_orderkey")),
+
+    "v04_referential_missing" -> ((s, dir) => {
+      val dim = t(s, dir, "customer").where(col("c_custkey") < 100)
+      Referential.violations(t(s, dir, "events"), "user_id", dim, "c_custkey")
+        .select("user_id").distinct().orderBy("user_id")
+    }),
+
+    "v05_referential_salted" -> ((s, dir) => {
+      val dim = t(s, dir, "customer").where(col("c_custkey") < 100)
+      Referential.violationsSalted(t(s, dir, "events"), "user_id", dim, "c_custkey",
+          saltBy = "event_id", saltBuckets = 8)
+        .select("user_id").distinct().orderBy("user_id")
+    }),
+
+    "v06_profile_lineitem" -> ((s, dir) =>
+      ColumnStats.profile(t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")),
+
+    "v07_drift_hist_quantity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val first = Drift.histogram(li.where(col("l_shipdate") < lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
+      val second = Drift.histogram(li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
+      first.withColumnRenamed("n", "n_ref")
+        .join(second.withColumnRenamed("n", "n_cur"), Seq("bin"), "full_outer")
+        .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"), coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        .orderBy("bin")
+    }),
+
+    "v08_drift_psi_quantity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val first = Drift.histogram(li.where(col("l_shipdate") < lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
+      val second = Drift.histogram(li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
+      Drift.psi(first, second).select(round(col("psi"), 6).as("psi"))
+    }),
+
+    "v09_format_battery" -> ((s, _) => {
+      import s.implicits._
+      val fixtures = Seq(
+        (1, "2024-02-29"), (2, "2023-02-29"), (3, "user@example.com"), (4, "not an email"),
+        (5, "10.0.0.1"), (6, "999.1.1.1"), (7, "01.2.3.4"), (8, "A1b2+/=="), (9, "spa ce"),
+        (10, "123e4567-e89b-12d3-a456-426614174000"), (11, "123e4567-e89b-x2d3-a456-426614174000"),
+        (12, "/foo/bar"), (13, "foo"), (14, "23:59:59"), (15, "24:00:00"))
+      import graft.functions.Formats
+      fixtures.toDF("id", "s").select(col("id"), col("s"),
+          Formats.date(col("s")).as("is_date"),
+          Formats.email(col("s")).as("is_email"),
+          Formats.ipv4(col("s")).as("is_ipv4"),
+          Formats.byte(col("s")).as("is_byte"),
+          Formats.uuid(col("s")).as("is_uuid"),
+          Formats.jsonPointer(col("s")).as("is_jsonptr"),
+          Formats.time(col("s")).as("is_time"))
+        .orderBy("id")
+    }),
+
+    // ---- training-data pipeline: dedup / text / similarity / multimodal ----
+
+    "p01_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withDups = docs.unionByName(docs.orderBy("doc_id").limit(50))
+      Dedup.exactDupGroups(withDups, "doc_id", "text").orderBy("fp")
+    }),
+
+    "p02_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "p03_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_ws"),
+          TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe"),
+          TextAnalysis.charCount(col("text")).cast("long").as("n_chars_m"))
+        .orderBy("doc_id")),
+
+    "p04_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.stopwordCount(col("text")).cast("long").as("n_stop"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+          TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "p05_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .orderBy("doc_id")),
+
+    "p06_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3, minJaccard = 0.3)
+        .orderBy("id_a", "id_b")),
+
+    "p07_minhash_sigs" -> ((s, dir) =>
+      Dedup.withMinhashSignature(t(s, dir, "documents"), "text", shingleK = 3, numHashes = 4)
+        .select("doc_id", "sig_0", "sig_1", "sig_2", "sig_3")
+        .orderBy("doc_id")),
+
+    "p08_minhash_candidates" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numHashes = 16, bands = 8)
+        .orderBy("id_a", "id_b")),
+
+    "p09_simhash" -> ((s, dir) =>
+      t(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    "s01_ann_bruteforce" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val scored = c.crossJoin(broadcast(q))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim6"))
+      val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "s02_ann_lsh" -> ((s, dir) =>
+      Similarity.topKLsh(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5, bits = 6)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("sim6"), col("rank"))
+        .orderBy("query_id", "rank")),
+
+    "m01_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.extractMeta(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("checksum"))
+        .orderBy("doc_id")
+    }),
+
+    "st01_stream_window_batch" -> ((s, dir) =>
+      // batch-equivalent of the Structured Streaming tumbling-window query
+      // (the streaming path itself is exercised in StreamingSpec)
+      t(s, dir, "events")
+        .groupBy((floor(unix_timestamp(col("ts")) / 300) * 300).cast("long").as("bucket_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("sum_value"))
+        .orderBy("bucket_start", "event_type"))
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB regex note: RE2 syntax; '\\s' etc. are literal backslashes in
+    * single-quoted SQL strings (DuckDB does not process escapes). */
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(CAST(l_quantity AS DECIMAL(20,4))),2)::DOUBLE AS sum_qty,
+        | round(sum(CAST(l_extendedprice AS DECIMAL(20,4))),2)::DOUBLE AS sum_base_price,
+        | round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,4))),2)::DOUBLE AS sum_disc_price,
+        | round(round(sum(CAST(l_quantity AS DECIMAL(20,4))),2)::DOUBLE / count(*), 6) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_topn" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 49 AND l_shipdate >= TIMESTAMP '2000-01-01'
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q03_revenue_by_nation" ->
+      """SELECT n_name,
+        | round(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,4))),2)::DOUBLE AS revenue,
+        | count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q04_window_latest_order" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        | SELECT o_custkey, o_orderkey, o_orderdate,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        | FROM orders) t WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q05_customers_no_recent_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_orders_with_max_qty_item" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 50)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q07_setop_parts" ->
+      """(SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 49)
+        |EXCEPT
+        |(SELECT DISTINCT l_partkey FROM lineitem WHERE l_discount = 0.0)
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q08_rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(CAST(o_totalprice AS DECIMAL(20,4))),2)::DOUBLE AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q09_nation_customer_stats" ->
+      """SELECT n_name, count(*) AS n_customers,
+        | round(sum(CAST(c_acctbal AS DECIMAL(20,4))),2)::DOUBLE AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q10_events_hourly" ->
+      """SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS bucket_start, event_type,
+        | count(*) AS n, round(sum(CAST(value AS DECIMAL(20,6))),4)::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "v01_rule_counts_lineitem" ->
+      """SELECT * FROM (
+        | SELECT '/l_quantity' AS path, 'maximum' AS rule_id, count(*) AS n_violations FROM lineitem WHERE l_quantity > 45
+        | UNION ALL SELECT '/l_quantity', 'minimum', count(*) FROM lineitem WHERE l_quantity < 1
+        | UNION ALL SELECT '/l_discount', 'maximum', count(*) FROM lineitem WHERE l_discount > 0.05
+        | UNION ALL SELECT '/l_tax', 'maximum', count(*) FROM lineitem WHERE l_tax > 0.1
+        | UNION ALL SELECT '/l_returnflag', 'enum', count(*) FROM lineitem WHERE l_returnflag NOT IN ('A','N')
+        | UNION ALL SELECT '/l_linestatus', 'enum', count(*) FROM lineitem WHERE l_linestatus NOT IN ('O','F')
+        |) t WHERE n_violations > 0 ORDER BY path, rule_id""".stripMargin,
+
+    "v02_violation_rows_orders" ->
+      """SELECT * FROM (
+        | SELECT o_orderkey, '/o_orderstatus' AS path, 'enum' AS rule_id, o_orderstatus AS observed
+        |  FROM orders WHERE o_orderstatus NOT IN ('O','F')
+        | UNION ALL
+        | SELECT o_orderkey, '/o_orderpriority', 'pattern', o_orderpriority
+        |  FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        |) t ORDER BY o_orderkey, path""".stripMargin,
+
+    "v03_unique_dup_keys" ->
+      """SELECT l_orderkey, count(*) AS n_rows FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+
+    "v04_referential_missing" ->
+      """SELECT DISTINCT user_id FROM events
+        |WHERE user_id IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = user_id AND c_custkey < 100)
+        |ORDER BY user_id""".stripMargin,
+
+    "v05_referential_salted" ->
+      """SELECT DISTINCT user_id FROM events
+        |WHERE user_id IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = user_id AND c_custkey < 100)
+        |ORDER BY user_id""".stripMargin,
+
+    "v06_profile_lineitem" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows, count($c) AS n_nonnull,
+           | count(*) - count($c) AS n_null,
+           | CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str FROM lineitem""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY col_name")
+    },
+
+    "v07_drift_hist_quantity" ->
+      """WITH binned AS (
+        | SELECT CAST(least(greatest(floor((l_quantity - 1)/5.0), 0), 9) AS INT) AS bin,
+        |        l_shipdate < TIMESTAMP '1998-01-01' AS is_ref
+        | FROM lineitem WHERE l_quantity IS NOT NULL),
+        |r AS (SELECT bin, count(*) AS n_ref FROM binned WHERE is_ref GROUP BY bin),
+        |c AS (SELECT bin, count(*) AS n_cur FROM binned WHERE NOT is_ref GROUP BY bin)
+        |SELECT COALESCE(r.bin, c.bin) AS bin, COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        |FROM r FULL OUTER JOIN c ON r.bin = c.bin ORDER BY bin""".stripMargin,
+
+    "v08_drift_psi_quantity" ->
+      """WITH binned AS (
+        | SELECT CAST(least(greatest(floor((l_quantity - 1)/5.0), 0), 9) AS INT) AS bin,
+        |        l_shipdate < TIMESTAMP '1998-01-01' AS is_ref
+        | FROM lineitem WHERE l_quantity IS NOT NULL),
+        |r AS (SELECT bin, count(*) AS n FROM binned WHERE is_ref GROUP BY bin),
+        |c AS (SELECT bin, count(*) AS n FROM binned WHERE NOT is_ref GROUP BY bin),
+        |rt AS (SELECT sum(n) AS t FROM r), ct AS (SELECT sum(n) AS t FROM c),
+        |j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+        |       greatest(COALESCE(r.n, 0)::DOUBLE / (SELECT t FROM rt), 1e-6) AS p,
+        |       greatest(COALESCE(c.n, 0)::DOUBLE / (SELECT t FROM ct), 1e-6) AS q
+        |      FROM r FULL OUTER JOIN c ON r.bin = c.bin)
+        |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM j""".stripMargin,
+
+    "v09_format_battery" -> {
+      // '' = escaped single quote inside the SQL string literal
+      val emailAtom = "[a-zA-Z0-9_!#$%&''*+/=?^`{}~|\\-]+"
+      val emailRe = s"^(?:$emailAtom(?:\\.$emailAtom)*)@(?:$emailAtom(?:\\.$emailAtom)*)$$"
+      s"""SELECT id, s,
+         | (regexp_matches(s, '^\\d{4}-\\d\\d-\\d\\d$$') AND try_cast(s AS DATE) IS NOT NULL) AS is_date,
+         | regexp_matches(s, '$emailRe') AS is_email,
+         | regexp_matches(s, '^((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\.){3}(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)$$') AS is_ipv4,
+         | regexp_matches(s, '^[A-Za-z0-9+/=]+$$') AS is_byte,
+         | regexp_matches(s, '^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9][0-9A-Fa-f]{3}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$$') AS is_uuid,
+         | (length(s) = 0 OR regexp_matches(s, '^/')) AS is_jsonptr,
+         | (regexp_matches(s, '^(\\d\\d):(\\d\\d):(\\d\\d)(\\.\\d+)?([Zz]|[+-]\\d+:\\d+)?$$')
+         |   AND substr(s,1,2) < '24' AND substr(s,4,2) < '60' AND substr(s,7,2) <= '60') AS is_time
+         |FROM (VALUES (1,'2024-02-29'),(2,'2023-02-29'),(3,'user@example.com'),(4,'not an email'),
+         | (5,'10.0.0.1'),(6,'999.1.1.1'),(7,'01.2.3.4'),(8,'A1b2+/=='),(9,'spa ce'),
+         | (10,'123e4567-e89b-12d3-a456-426614174000'),(11,'123e4567-e89b-x2d3-a456-426614174000'),
+         | (12,'/foo/bar'),(13,'foo'),(14,'23:59:59'),(15,'24:00:00')) AS t(id, s)
+         |ORDER BY id""".stripMargin
+    },
+
+    "p01_dedup_exact" ->
+      """WITH dd AS (
+        | SELECT doc_id, text FROM documents
+        | UNION ALL SELECT doc_id, text FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 50) s)
+        |SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |       count(*) AS n, min(doc_id) AS keep_id
+        |FROM dd GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin,
+
+    "p02_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p03_token_counts" ->
+      """SELECT doc_id,
+        | len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0))::BIGINT AS n_ws,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))::BIGINT AS n_bpe,
+        | length(text)::BIGINT AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p04_quality" ->
+      """WITH base AS (
+        | SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws,
+        |  len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|that|it|you|for)\b'))::BIGINT AS n_stop,
+        |  len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE AS n_punct,
+        |  len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE AS n_alpha,
+        |  length(text) AS n_chars
+        | FROM documents)
+        |SELECT doc_id, n_stop,
+        | n_punct / nullif(n_chars, 0)::DOUBLE AS punct_ratio,
+        | n_alpha / nullif(n_chars, 0)::DOUBLE AS alpha_ratio,
+        | list_aggregate(list_transform(ws, w -> len(w)), 'sum')::DOUBLE / nullif(len(ws), 0)::DOUBLE AS mean_word_len,
+        | COALESCE(
+        |   least(len(ws)::DOUBLE / 100.0, 1.0) * 0.5
+        |   + least((n_stop::DOUBLE / nullif(len(ws), 0)::DOUBLE) * 5.0, 1.0) * 0.3
+        |   + (1.0 - least((n_punct / nullif(n_chars, 0)::DOUBLE) * 5.0, 1.0)) * 0.2, 0.0) AS quality
+        |FROM base ORDER BY doc_id""".stripMargin,
+
+    "p05_langid" -> {
+      val scores = Seq(
+        "en" -> "\\b(the|and|of|to|in|is|that|it|you|for)\\b",
+        "de" -> "\\b(der|die|und|das|ist|nicht|mit|ein|ich|auf)\\b",
+        "fr" -> "\\b(le|la|et|les|des|une|est|que|pour|dans)\\b",
+        "es" -> "\\b(el|los|de|que|y|en|un|se|no|por)\\b")
+        .map { case (l, re) => s"len(regexp_extract_all(lower(text), '$re')) AS s_$l" }
+        .mkString(", ")
+      """WITH sc AS (SELECT doc_id, lang, SCORES,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh FROM documents),
+        |m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS mx FROM sc)
+        |SELECT doc_id, lang,
+        | CASE WHEN s_en = mx AND s_en > 0 THEN 'en'
+        |      WHEN s_de = mx AND s_de > 0 THEN 'de'
+        |      WHEN s_fr = mx AND s_fr > 0 THEN 'fr'
+        |      WHEN s_es = mx AND s_es > 0 THEN 'es'
+        |      WHEN s_zh = mx AND s_zh > 0 THEN 'zh'
+        |      ELSE 'und' END AS predicted
+        |FROM m ORDER BY doc_id""".stripMargin.replace("SCORES", scores)
+    },
+
+    "p06_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(ws) - 2, 0) + 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM w),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_common, x.n AS n_a, y.n AS n_b,
+        | CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+        |FROM cm JOIN sz x ON cm.id_a = x.doc_id JOIN sz y ON cm.id_b = y.doc_id
+        |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "p07_minhash_sigs" -> {
+      val sig = (0 until 4).map(j =>
+        s"list_min(list_transform(sh, s -> ('0x' || substr(md5('$j:' || s), 1, 8))::BIGINT)) AS sig_$j")
+        .mkString(",\n ")
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+         |shl AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(1, greatest(len(ws) - 2, 0) + 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w)
+         |SELECT doc_id, $sig FROM shl ORDER BY doc_id""".stripMargin
+    },
+
+    "p09_simhash" -> {
+      val votes = (0 until 32).map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b").mkString(", ")
+      val fp = (0 until 32).map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |  x -> len(x) > 0)) AS word FROM documents WHERE doc_id < 100),
+         |h AS (SELECT doc_id, ('0x' || substr(md5('0:' || word), 1, 8))::BIGINT AS hv FROM w),
+         |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+    },
+
+    "s01_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (
+        | SELECT query_id, neighbor_id,
+        |  round(list_aggregate(list_transform(range(1, len(qv) + 1),
+        |          i -> qv[i]::DOUBLE * cv[i]::DOUBLE), 'sum')
+        |   / nullif(sqrt(list_aggregate(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), 'sum'))
+        |          * sqrt(list_aggregate(list_transform(range(1, len(cv) + 1), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), 'sum')), 0), 6) AS sim6
+        | FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, neighbor_id, sim6, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "m01_media_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        | (((ascii(substr(text,1,1)) & 127) * 16 + (ascii(substr(text,2,1)) & 15)) + 16)::BIGINT AS width,
+        | (((ascii(substr(text,3,1)) & 127) * 16 + (ascii(substr(text,4,1)) & 15)) + 16)::BIGINT AS height,
+        | md5(text) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "st01_stream_window_batch" ->
+      """SELECT CAST(floor(epoch(ts)/300) AS BIGINT)*300 AS bucket_start, event_type,
+        | count(*) AS n, round(sum(CAST(value AS DECIMAL(20,6))),4)::DOUBLE AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
 }

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (hash groupBy), n-gram Jaccard (inverted-index join),
+  * MinHash+LSH (shingle → signature → band buckets → candidate join),
+  * SimHash (bitwise fingerprint).
+  *
+  * Scale design:
+  *  - exact dedup is one `groupBy(md5)` — partial agg + tiny shuffle;
+  *  - pairwise Jaccard never does a cartesian product: the self-join is on
+  *    the *shingle* (inverted index), so cost ∝ Σ posting-list²; at 100 TB
+  *    you cap it with the MinHash path, whose band join only touches
+  *    colliding buckets (banding theory: P(collide) = 1-(1-j^r)^b);
+  *  - all hashing is md5-derived, so results are engine-portable (the
+  *    DuckDB oracle reproduces signatures exactly) and partition-invariant.
+  */
+object Dedup {
+
+  /** md5-derived 32-bit hash of a string expression, seeded. Portable:
+    * `('0x' || substr(md5(seed||':'||s),1,8))::BIGINT` in DuckDB. */
+  def md5Hash32(s: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), s).cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Exact-duplicate groups by content hash: `(fingerprint, n, min_id)`. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+      .where(col("n") > 1)
+
+  /** Distinct k-word shingles per document (lower-cased, whitespace
+    * tokenized). `(id, shingle)` exploded — the inverted-index input. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    val sh = array_distinct(transform(
+      sequence(lit(0), greatest(size(ws) - k, lit(-1))),
+      i => array_join(slice(ws, i + 1, lit(k)), " ")))
+    df.select(col(idCol).as("id"), explode(sh).as("shingle"))
+  }
+
+  /** Document pairs with n-gram Jaccard ≥ `minJaccard`, via inverted-index
+    * self-join on the shingle (no cartesian). Output
+    * `(id_a, id_b, n_common, n_a, n_b, jaccard)` with id_a < id_b. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+      minJaccard: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .where(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** MinHash signature columns `sig_0 … sig_{k-1}`: min over the document's
+    * shingle set of k independent md5-derived hash functions. Computed
+    * per-row with higher-order functions — one scan, no explode/shuffle. */
+  def withMinhashSignature(df: DataFrame, textCol: String, shingleK: Int, numHashes: Int): DataFrame = {
+    val ws = TextAnalysis.words(col(textCol))
+    val sh = array_distinct(transform(
+      sequence(lit(0), greatest(size(ws) - shingleK, lit(-1))),
+      i => array_join(slice(ws, i + 1, lit(shingleK)), " ")))
+    (0 until numHashes).foldLeft(df.withColumn("__sh", sh)) { (acc, j) =>
+      acc.withColumn(s"sig_$j", array_min(transform(col("__sh"), s => md5Hash32(s, j))))
+    }.drop("__sh")
+  }
+
+  /** LSH band keys from a signature: `bands` bands of `rowsPerBand` hashes,
+    * each band hashed to one bucket string. */
+  def bandKeys(numHashes: Int, bands: Int): Seq[Column] = {
+    val rowsPerBand = numHashes / bands
+    (0 until bands).map { b =>
+      val sigCols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col(s"sig_$j").cast("string"))
+      md5(concat_ws(",", sigCols: _*).cast("binary")).as(s"band_$b")
+    }
+  }
+
+  /** Near-duplicate candidate pairs: documents sharing at least one LSH band
+    * bucket. The join is per-band on the bucket hash — only colliding
+    * buckets meet, which is what makes this the 100 TB path. Returns
+    * distinct `(id_a, id_b)` with id_a < id_b. */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val signed = withMinhashSignature(df, textCol, shingleK, numHashes)
+      .select(col(idCol).as("id") +: bandKeys(numHashes, bands): _*)
+    val stacked = signed.select(col("id"),
+      explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("bucket"))
+    stacked.as("a").join(stacked.as("b"), Seq("bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash over whitespace tokens: bit b of the fingerprint is the
+    * sign of Σ_tokens (2·bit_b(h(token)) − 1). Hamming-near fingerprints =
+    * near-duplicate documents. Pure per-row expression. */
+  def simhash32(text: Column): Column = {
+    val ws = TextAnalysis.words(text)
+    val hashes = transform(ws, w => md5Hash32(w, 0))
+    val bits = (0 until 32).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hamming32(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, document fingerprinting.
+  * All pure Catalyst column expressions (codegen'd, no UDFs) so they run
+  * inside the scan stage — at 100 TB these are free riders on the first
+  * pass over the data.
+  *
+  * Every function is deliberately expressible in ANSI SQL so the DuckDB
+  * oracle can replicate it bit-for-bit (integer counts; doubles only from
+  * exact-integer divisions, which IEEE-754 defines exactly).
+  */
+object TextAnalysis {
+
+  /** Lower-cased whitespace tokens, empties dropped. */
+  def words(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: letter runs, single digits, single punctuation —
+    * the standard cheap proxy for subword token counts. */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Punctuation chars / total chars (0 for empty). */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[\\p{Punct}]")).cast("double") /
+      nullif(length(text), lit(0)).cast("double")
+
+  /** Alphabetic chars / total chars. */
+  def alphaRatio(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]")).cast("double") /
+      nullif(length(text), lit(0)).cast("double")
+
+  /** Top-10 English stopword hits (word-bounded). */
+  val enStopRe = "\\b(the|and|of|to|in|is|that|it|you|for)\\b"
+  def stopwordCount(text: Column): Column = regexp_count(lower(text), lit(enStopRe))
+  def stopwordRatio(text: Column): Column =
+    stopwordCount(text).cast("double") / nullif(tokenCountWs(text), lit(0)).cast("double")
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLen(text: Column): Column = {
+    val ws = words(text)
+    aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+      nullif(size(ws), lit(0)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]-ish: length band + stopword presence −
+    * punctuation excess. The exact weights matter less than determinism; the
+    * oracle reproduces the same arithmetic in the same order. */
+  def qualityScore(text: Column): Column = {
+    val nW = tokenCountWs(text).cast("double")
+    val lenScore = least(nW / lit(100.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(5.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(5.0), lit(1.0))
+    coalesce(lenScore * lit(0.5) + stopScore * lit(0.3) + (lit(1.0) - punctPenalty) * lit(0.2), lit(0.0))
+  }
+
+  /** Stopword-profile language ID over {en,de,fr,es} + CJK-codepoint zh.
+    * Deterministic argmax with fixed precedence order on ties. */
+  val langStopRes: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|it|you|for)\\b",
+    "de" -> "\\b(der|die|und|das|ist|nicht|mit|ein|ich|auf)\\b",
+    "fr" -> "\\b(le|la|et|les|des|une|est|que|pour|dans)\\b",
+    "es" -> "\\b(el|los|de|que|y|en|un|se|no|por)\\b")
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    langStopRes.map { case (l, re) => l -> regexp_count(lower(text), lit(re)) } :+
+      ("zh" -> regexp_count(text, lit("[\\x{4e00}-\\x{9fff}]")))
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // fixed precedence: first language reaching the max wins; all-zero → und
+    scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && s > 0 && acc === "und", lit(l)).otherwise(acc)
+    }
+  }
+
+  // langId with deterministic first-match-wins: fold above checks acc==="und"
+  // so earlier entries take precedence; zh only wins if others are 0.
+
+  /** Canonical document fingerprint: md5 of the whitespace-normalized
+    * lower-cased text — the cheap exact-dedup key (Spark md5 == DuckDB md5). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+}
