@@ -264,7 +264,8 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     "p07_minhash_sigs" -> ((s, dir) =>
-      Dedup.withMinhashSignature(t(s, dir, "documents"), "text", shingleK = 3, numHashes = 4)
+      Dedup.minhashSignatures(t(s, dir, "documents"), "doc_id", "text", shingleK = 3, numHashes = 4)
+        .withColumnRenamed("id", "doc_id")
         .select("doc_id", "sig_0", "sig_1", "sig_2", "sig_3")
         .orderBy("doc_id")),
 

@@ -1,0 +1,59 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Coercion projections — the reference's `coerce('booleans,numbers,
+  * strings,defaults')` (reference lib/JSON/Validator/Validator.pm:39-49,
+  * rules at Schema.pm:676-679, 710-714, 816-819, 752-755).
+  *
+  * The reference MUTATES the input in place (`$_[1] = …`, observable in
+  * t/coerce.t). The engine is non-mutating by design: coercion is a
+  * *projection* producing a new repaired DataFrame; the source is untouched
+  * (idiomatic Spark, and the input_hint's non-mutation invariant).
+  */
+object Coerce {
+
+  /** "true"/"1" → true, "false"/"0"/"" → false (Schema.pm:676-679). */
+  def booleans(c: Column): Column =
+    when(c.isin("true", "1"), lit(true))
+      .when(c.isin("false", "0", ""), lit(false))
+      .otherwise(lit(null).cast(BooleanType))
+
+  /** Strict JSON-number strings → double (Schema.pm:710-714 regex). */
+  val jsonNumberRe = "^-?(?:0|[1-9]\\d*)(?:\\.\\d+)?(?:[eE][+-]?\\d+)?$"
+  def numbers(c: Column): Column =
+    when(c.rlike(jsonNumberRe), c.cast(DoubleType)).otherwise(lit(null).cast(DoubleType))
+
+  /** number → string (Schema.pm:816-819). */
+  def strings(c: Column): Column = c.cast(StringType)
+
+  /** missing/null → schema default (Schema.pm:752-755). */
+  def defaults(c: Column, default: JValue, dt: DataType): Column =
+    coalesce(c, RuleCompiler.litOf(default, dt).getOrElse(lit(null).cast(dt)))
+
+  /** scalar → 1-element array (OpenAPIv3 form-data, OpenAPIv3.pm:307-310);
+    * static in a typed schema — provided for completeness. */
+  def scalarToArray(c: Column): Column = array(c)
+
+  sealed trait Coercion
+  case object ToBoolean extends Coercion
+  case object ToNumber extends Coercion
+  case object ToString extends Coercion
+  final case class WithDefault(default: JValue) extends Coercion
+
+  /** Apply a coercion spec per column: returns the repaired projection. */
+  def apply(df: DataFrame, spec: Map[String, Coercion]): DataFrame = {
+    val cols = df.columns.map { name =>
+      spec.get(name) match {
+        case Some(ToBoolean) => booleans(col(name)).as(name)
+        case Some(ToNumber)  => numbers(col(name)).as(name)
+        case Some(ToString)  => strings(col(name)).as(name)
+        case Some(WithDefault(d)) => defaults(col(name), d, df.schema(name).dataType).as(name)
+        case None => col(name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+}

@@ -106,4 +106,37 @@ object Rule {
     case Seq(r) => r
     case rs     => All(rs)
   }
+
+  /** Statically-known set of row fields a rule reads, or None when the rule
+    * may touch the whole row (`Predicate`, `ClosedWorld` with a sub-rule,
+    * property-count rules). Drives column pruning in
+    * [[graft.core.Violations.validate]]: a doc_id-only uniqueness pass must
+    * never read `tokens` (SURVEY.md §4 pruning note), and a 5-column rule
+    * pack over an 11-column table must scan 5 columns.
+    */
+  def referencedFields(rule: Rule): Option[Set[String]] = rule match {
+    case Always | Never            => Some(Set.empty)
+    // a property sub-rule targets the field value (even a Predicate), so it
+    // can only read that field
+    case Properties(props)         => Some(props.map(_._1).toSet)
+    case Required(fields)          => Some(fields.toSet)
+    case DependentRequired(deps)   => Some(deps.flatMap { case (k, vs) => k +: vs }.toSet)
+    case All(rs)                   => combine(rs)
+    case AllOf(rs)                 => combine(rs)
+    case AnyOf(rs)                 => combine(rs)
+    case OneOf(rs)                 => combine(rs)
+    case Not(r)                    => referencedFields(r)
+    case Nullable(r)               => referencedFields(r)
+    case IfThenElse(c, t, e)       => combine(Seq(c) ++ t ++ e)
+    // leaf value rules on the row target itself, or rules that need the
+    // whole row (Predicate, ClosedWorld, Min/MaxProperties, PatternProperties
+    // — pattern match depends on the schema, resolved at compile)
+    case _                         => None
+  }
+
+  private def combine(rs: Seq[Rule]): Option[Set[String]] =
+    rs.map(referencedFields).foldLeft(Option(Set.empty[String])) {
+      case (Some(a), Some(b)) => Some(a ++ b)
+      case _ => None
+    }
 }

@@ -422,13 +422,29 @@ object RuleCompiler {
     import Rule._
     val (typeRules, rest0)   = rules.partition(_.isInstanceOf[TypeIs])
     val (constEnum, rest)    = rest0.partition(r => r.isInstanceOf[Const] || r.isInstanceOf[Enum])
-    val typeErrs  = typeRules.map(compile(_, dt, target, path, ctx)).reduceOption(concat(_, _)).getOrElse(noErrors)
-    val otherErrs = rest.map(compile(_, dt, target, path, ctx)).reduceOption(concat(_, _)).getOrElse(noErrors)
-    val ceErrs    = constEnum.map(compile(_, dt, target, path, ctx)).reduceOption(concat(_, _)).getOrElse(noErrors)
-    // dispatcher order: combinator+type errors first; if none, value keywords;
-    // const/enum only after everything else passed (Schema.pm:401-419)
-    when(size(typeErrs) > 0, typeErrs)
-      .otherwise(when(size(otherErrs) > 0, otherErrs).otherwise(ceErrs))
+    def cat(rs: Seq[Rule]): Column =
+      rs.map(compile(_, dt, target, path, ctx)).reduceOption(concat(_, _)).getOrElse(noErrors)
+    // dispatcher order: combinator+type errors first; if none, value
+    // keywords; const/enum only after everything else passed
+    // (Schema.pm:401-419). The gates are built ONLY for non-empty groups —
+    // a `when(size(e)>0, e).otherwise(…)` inlines `e` twice, which blows up
+    // the expression tree (and runtime) for the common min/max-only packs.
+    (typeRules.nonEmpty, rest.nonEmpty, constEnum.nonEmpty) match {
+      case (false, _, false)    => cat(rest)
+      case (true, false, false) => cat(typeRules)
+      case (true, true, false)  =>
+        val typeErrs = cat(typeRules)
+        when(size(typeErrs) > 0, typeErrs).otherwise(cat(rest))
+      case (false, false, true) => cat(constEnum)
+      case (false, true, true)  =>
+        val otherErrs = cat(rest)
+        when(size(otherErrs) > 0, otherErrs).otherwise(cat(constEnum))
+      case (true, _, true) =>
+        val typeErrs = cat(typeRules)
+        val otherErrs = cat(rest)
+        when(size(typeErrs) > 0, typeErrs)
+          .otherwise(when(size(otherErrs) > 0, otherErrs).otherwise(cat(constEnum)))
+    }
   }
 
   /** Shared allOf/anyOf machinery incl. message prefixing and the same-path

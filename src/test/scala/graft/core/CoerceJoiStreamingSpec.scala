@@ -1,0 +1,102 @@
+package graft.core
+
+import graft.SparkSuite
+import graft.core.Coerce._
+import graft.joi.joi
+import graft.streaming.StreamingValidate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Coercion projections (t/coerce.t analogs), the Joi fluent builder
+  * (t/joi.t analogs) and the Structured Streaming surface. */
+class CoerceJoiStreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("coerce numbers: '4.2' becomes 4.2, junk becomes null (t/coerce.t:13-28)") {
+    val df = Seq(("4.2", "x"), ("007", "y"), ("nope", "z")).toDF("v", "k")
+    val out = Coerce(df, Map("v" -> ToNumber)).select("v").as[Option[Double]].collect()
+    // "007" fails the strict JSON-number regex, like the reference
+    assert(out.toSeq === Seq(Some(4.2), None, None))
+    // non-mutation: source df unchanged
+    assert(df.select("v").as[String].collect().toSeq === Seq("4.2", "007", "nope"))
+  }
+
+  test("coerce booleans + defaults (Schema.pm:676-679, 752-755)") {
+    val df = Seq(Some("true"), Some("0"), Some("x"), None).toDF("b")
+    val out = Coerce(df, Map("b" -> ToBoolean)).select("b").as[Option[Boolean]].collect()
+    assert(out.toSeq === Seq(Some(true), Some(false), None, None))
+
+    val df2 = Seq(Some(5), None).toDF("n")
+    val out2 = Coerce(df2, Map("n" -> WithDefault(JInt(42)))).select("n").as[Int].collect()
+    assert(out2.toSeq === Seq(5, 42))
+  }
+
+  test("joi builder lowers to the same compiler (t/joi.t semantics)") {
+    val rule = joi.obj.props(
+      "age" -> joi.integer.min(0).max(200).required,
+      "name" -> joi.string.min(2).alphanum.required).rule
+    val ok = Seq((Some(30), Some("Nick"))).toDF("age", "name")
+    assert(Violations.validate(ok, rule, Seq()).count() === 0)
+    val bad = Seq((Some(300), Option.empty[String])).toDF("age", "name")
+    val errs = Violations.sorted(Violations.validate(bad, rule, Seq()), Seq())
+      .select("path", "message").as[(String, String)].collect().toSeq
+    assert(errs === Seq("/age" -> "300 > maximum(200)", "/name" -> "Missing property."))
+  }
+
+  test("joi string sugar: token/email/length") {
+    val rule = joi.string.token.rule
+    assert(Violations.validateColumn(Seq("ok_123").toDF("value"), rule, "value", Seq()).count() === 0)
+    assert(Violations.validateColumn(Seq("no spaces!").toDF("value"), rule, "value", Seq()).count() === 1)
+    val emailRule = joi.string.email.rule
+    assert(Violations.validateColumn(Seq("a@b.co").toDF("value"), emailRule, "value", Seq()).count() === 0)
+    assert(Violations.validateColumn(Seq("nope").toDF("value"), emailRule, "value", Seq()).count() === 1)
+  }
+
+  /** File-source streams need a directory: stage the single parquet file. */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streaming: row-local violations flow through a stream unchanged") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    assert(stream.isStreaming)
+
+    val rule = Rule.Properties(Seq(
+      "event_type" -> Rule.Enum(Seq(JStr("click"), JStr("view"), JStr("signup"), JStr("purchase"))),
+      "value" -> Rule.Maximum(400)))
+    val v = StreamingValidate.violations(stream, rule, Seq("event_id"))
+    val q = v.writeStream.format("memory").queryName("sviol")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sviol")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val want = StreamingValidate.violations(batch, rule, Seq("event_id"))
+    assert(got.count() === want.count())
+    assert(got.count() > 0)
+    assert(got.except(want).count() === 0 && want.except(got).count() === 0)
+  }
+
+  test("streaming: windowed verdicts with watermark") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // watermarks need TIMESTAMP (tz-aware); parquet infers TIMESTAMP_NTZ
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val rule = Rule.Properties(Seq("value" -> Rule.Maximum(490)))
+    val wv = StreamingValidate.windowedVerdicts(stream, rule, "ts", "1 day", "1 hour")
+    val q = wv.writeStream.format("memory").queryName("sverd")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // append mode emits only watermark-closed windows; all but the last day close
+    val rows = spark.table("sverd")
+    assert(rows.count() >= 25)
+    assert(rows.agg(sum("n_rows")).head().getLong(0) >= 900)
+  }
+}

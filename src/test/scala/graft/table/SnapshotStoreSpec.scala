@@ -1,0 +1,57 @@
+package graft.table
+
+import graft.SparkSuite
+import graft.sources.TokenGen
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Resumable snapshot semantics: interrupted runs resume from the manifest,
+  * completed partitions are never reprocessed, output is exactly-once per
+  * partition. */
+class SnapshotStoreSpec extends SparkSuite {
+
+  test("writeResumable: full run commits all partitions with row metrics") {
+    val root = Files.createTempDirectory("snap1").toString
+    val store = new SnapshotStore(root, spark)
+    val df = TokenGen.tokenSequences(spark, 5000, numPartitions = 4, maxLen = 16)
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(4)).cast("int"))
+    val written = store.writeResumable(df, "bucket", "snap-a")
+    assert(written.keySet === Set("0", "1", "2", "3"))
+    assert(written.values.sum === 5000L)
+    assert(store.read().count() === 5000L)
+    // second run: nothing remaining (idempotent resume)
+    assert(store.writeResumable(df, "bucket", "snap-a").isEmpty)
+    // lineage table mirrors the manifest
+    assert(store.lineage("snap-a").agg(sum("n_rows")).head().getLong(0) === 5000L)
+  }
+
+  test("writeResumable: resume after partial completion only writes the rest") {
+    val root = Files.createTempDirectory("snap2").toString
+    val store = new SnapshotStore(root, spark)
+    val df = TokenGen.tokenSequences(spark, 5000, numPartitions = 4, maxLen = 16)
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(4)).cast("int"))
+
+    // simulate an interrupted run: partitions 0 and 1 completed
+    val partial = df.where(col("bucket") < 2)
+    val firstRun = store.writeResumable(partial, "bucket", "snap-b")
+    assert(firstRun.keySet === Set("0", "1"))
+
+    // resume with the FULL input: only 2 and 3 are written
+    val resumed = store.writeResumable(df, "bucket", "snap-b")
+    assert(resumed.keySet === Set("2", "3"))
+
+    // final table is complete and exactly-once
+    assert(store.read().count() === 5000L)
+    assert(store.read().select("doc_id").distinct().count() ===
+      df.select("doc_id").distinct().count())
+    val m = store.readManifest("snap-b").get
+    assert(m.completed.keySet === Set("0", "1", "2", "3"))
+    assert(m.completed.values.sum === 5000L)
+  }
+
+  test("manifest json round-trips") {
+    val m = SnapshotManifest("s1", Some("s0"), Map("a" -> 10L, "b" -> 20L))
+    assert(SnapshotManifest.fromJson(m.toJson) === m)
+  }
+}
