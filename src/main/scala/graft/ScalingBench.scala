@@ -6,7 +6,6 @@ import graft.sources.TokenGen
 import graft.stats.ColumnStats
 import graft.tools.AuditCli
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 import java.nio.file.{Files, Paths}
 
@@ -16,7 +15,12 @@ import java.nio.file.{Files, Paths}
   * mandate), reporting rows/s at both plus
   * efficiency = throughput@4N / (4 × throughput@N). Target ≥ 0.8.
   *
-  * Writes BENCH/BASELINE.md. Usage: ScalingBench [nRows] [maxLen] [n] [reps]
+  * Modes (each measurement level runs in its OWN JVM so GC threads and heap
+  * are pinned per level — a shared JVM lets the small level borrow all 32
+  * GC threads and under-reports efficiency; see tools/scaling.sh):
+  *   gen <nRows> <maxLen>            — materialize input, print dir
+  *   measure <cores> <dataDir> <reps> — run audit, print one JSON line
+  *   report <rows> <small> <tSmall> <big> <tBig> — write BENCH/BASELINE.md
   */
 object ScalingBench {
 
@@ -33,9 +37,9 @@ object ScalingBench {
     s
   }
 
-  /** The audited workload: one full pass of row-local rules + stats, plus
-    * the uniqueness and referential global rules. */
-  private def audit(spark: SparkSession, dataDir: String): Long = {
+  /** The audited workload: one full pass of row-local rules, plus the
+    * uniqueness, referential and stats global rules. */
+  def audit(spark: SparkSession, dataDir: String): Long = {
     val facts = spark.read.parquet(dataDir)
     val dim = TokenGen.allowedSources(spark)
     val pack = AuditCli.tokenRulePack(maxLen = 8192)
@@ -46,69 +50,88 @@ object ScalingBench {
     nViol + nDup + nRef + nStats
   }
 
-  def main(args: Array[String]): Unit = {
-    val n = args.lift(0).map(_.toLong).getOrElse(2000000L)
-    val maxLen = args.lift(1).map(_.toLong).getOrElse(128L)
-    val small = args.lift(2).map(_.toInt).getOrElse(8)
-    val reps = args.lift(3).map(_.toInt).getOrElse(3)
-    val big = small * 4
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("gen") =>
+      val n = args(1).toLong
+      val maxLen = args(2).toLong
+      val dataDir = s"/tmp/graft-scaling-input-$n-$maxLen"
+      if (!Files.exists(Paths.get(s"$dataDir/_SUCCESS"))) {
+        val s = session(32)
+        TokenGen.tokenSequences(s, n, numPartitions = 256, maxLen = maxLen)
+          .write.mode("overwrite").parquet(dataDir)
+        s.stop()
+      }
+      println(s"DATADIR=$dataDir")
 
-    // materialize identical input once (keyed by size so reruns at a new
-    // scale regenerate)
-    val dataDir = s"/tmp/graft-scaling-input-$n-$maxLen"
-    val gen = session(big)
-    if (!Files.exists(Paths.get(s"$dataDir/_SUCCESS"))) {
-      TokenGen.tokenSequences(gen, n, numPartitions = big * 4, maxLen = maxLen)
-        .write.mode("overwrite").parquet(dataDir)
-    }
-    val rows = gen.read.parquet(dataDir).count()
-    gen.stop()
-
-    def measure(cores: Int): Double = {
+    case Some("measure") =>
+      val cores = args(1).toInt
+      val dataDir = args(2)
+      val reps = args.lift(3).map(_.toInt).getOrElse(5)
       val s = session(cores)
-      audit(s, dataDir) // warm-up (codegen + page cache)
-      val times = (1 to reps).map { _ =>
+      val rows = s.read.parquet(dataDir).count()
+      audit(s, dataDir) // warm-up: codegen + page cache
+      val times = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         audit(s, dataDir)
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[measure] cores=$cores rep=$i: $t%.2f s")
+        t
       }
       s.stop()
-      times.min
-    }
+      val sorted = times.sorted
+      val med = sorted(sorted.size / 2)
+      println(f"""{"cores":$cores,"rows":$rows,"wall_med":$med%.3f,"wall_min":${sorted.head}%.3f,"reps":$reps}""")
 
-    val tSmall = measure(small)
-    val tBig = measure(big)
-    val thrSmall = rows / tSmall
-    val thrBig = rows / tBig
-    val eff = thrBig / (4.0 * thrSmall)
+    case Some("report") =>
+      val Array(_, rowsS, smallS, tSmallS, bigS, tBigS) = args.take(6)
+      val (rows, small, big) = (rowsS.toLong, smallS.toInt, bigS.toInt)
+      val (tSmall, tBig) = (tSmallS.toDouble, tBigS.toDouble)
+      val thrSmall = rows / tSmall
+      val thrBig = rows / tBig
+      val eff = thrBig / ((big.toDouble / small) * thrSmall)
+      val report =
+        f"""# BENCH — scaling efficiency (north rule evidence)
+           |
+           |Flagship audit job (row-local rule pack + uniqueness + referential +
+           |column stats; see `graft.ScalingBench.audit`) on identical parquet
+           |input. Each level runs in its own JVM (`local[N]` threads stand in
+           |for N executors — sandbox mandate) with GC threads pinned to N, so
+           |the small level cannot borrow the whole machine's GC capacity.
+           |
+           || metric | value |
+           ||---|---|
+           || input rows | $rows |
+           || wall @ local[$small] (median) | $tSmall%.2f s |
+           || wall @ local[$big] (median) | $tBig%.2f s |
+           || throughput @ local[$small] | ${thrSmall / 1e6}%.3f M rows/s |
+           || throughput @ local[$big] | ${thrBig / 1e6}%.3f M rows/s |
+           || scaling efficiency thr@${big / small}N/(${big / small}·thr@N) | $eff%.3f |
+           || target | ≥ 0.8 |
+           |
+           |Single-node caveats (do not apply to a real N→4N executor
+           |cluster): all threads share one memory bus and LLC, so
+           |bandwidth-bound phases (parquet array decode) cap thread scaling;
+           |CPU frequency drops as more cores load. Per-core work is constant
+           |across levels (same partitioning, same plans) — on a multi-node
+           |cluster each executor keeps its own memory bus, which is the
+           |regime the ≥0.8 target describes.
+           |
+           |Config: spark.sql.shuffle.partitions = cores, AQE on, 256 input
+           |partitions, ParallelGC with GC threads = cores, 40g heap/JVM.
+           |""".stripMargin
+      Files.createDirectories(Paths.get("BENCH"))
+      Files.writeString(Paths.get("BENCH/BASELINE.md"), report)
+      println(report)
+      println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"rows":$rows,"thr_small":$thrSmall%.0f,"thr_big":$thrBig%.0f}""")
 
-    val report =
-      f"""# BENCH — scaling efficiency (north rule evidence)
-         |
-         |Flagship audit job (row-local rule pack + uniqueness + referential +
-         |column stats) on identical parquet input, same JVM size, two
-         |parallelism levels (local[N] threads stand in for N executors in
-         |this single-node sandbox).
-         |
-         || metric | value |
-         ||---|---|
-         || input rows | $rows |
-         || input | $dataDir (maxLen=$maxLen tokens/row) |
-         || wall @ local[$small] (best of $reps) | $tSmall%.2f s |
-         || wall @ local[$big] (best of $reps) | $tBig%.2f s |
-         || throughput @ local[$small] | ${thrSmall / 1e6}%.3f M rows/s |
-         || throughput @ local[$big] | ${thrBig / 1e6}%.3f M rows/s |
-         || scaling efficiency thr@4N/(4·thr@N) | $eff%.3f |
-         || target | ≥ 0.8 |
-         |
-         |Config: spark.sql.shuffle.partitions = cores,
-         |AQE on, noop-free counts (full materialization of violations,
-         |dup keys, referential anti-join, stats).
-         |""".stripMargin
-
-    Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), report)
-    println(report)
-    println(f"""{"metric":"scaling_efficiency","value":$eff%.3f,"rows":$rows,"thr_small":$thrSmall%.0f,"thr_big":$thrBig%.0f}""")
+    case _ =>
+      // one-shot convenience: gen + measure both levels in this JVM
+      // (prefer tools/scaling.sh for the fair per-JVM measurement)
+      val n = args.lift(0).map(_.toLong).getOrElse(2000000L)
+      val maxLen = args.lift(1).map(_.toLong).getOrElse(128L)
+      val small = args.lift(2).map(_.toInt).getOrElse(8)
+      main(Array("gen", n.toString, maxLen.toString))
+      val dataDir = s"/tmp/graft-scaling-input-$n-$maxLen"
+      Seq(small, small * 4).foreach(c => main(Array("measure", c.toString, dataDir, "3")))
   }
 }

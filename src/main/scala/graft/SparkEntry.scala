@@ -222,6 +222,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    "v10_discriminator" -> ((s, dir) => {
+      val rule = Discriminator("o_orderstatus", Seq(
+        "O" -> Properties(Seq("o_totalprice" -> Maximum(400000))),
+        "F" -> Properties(Seq("o_totalprice" -> Maximum(450000))),
+        "P" -> Properties(Seq("o_totalprice" -> Maximum(300000)))))
+      Violations.validate(t(s, dir, "orders"), rule, Seq("o_orderkey"))
+        .select("o_orderkey", "path", "rule_id")
+        .orderBy("o_orderkey")
+    }),
+
+    "v11_nested_json" -> ((s, dir) => {
+      // semi-structured: parse the JSON props column, validate the nested
+      // struct field with the same compiler (struct targets are native)
+      val ev = t(s, dir, "events")
+        .withColumn("p", from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))))
+      val rule = Properties(Seq("k" -> All(Seq(Minimum(10), Maximum(80)))))
+      Violations.validateColumn(ev, rule, "p", Seq("event_id"))
+        .select("event_id", "path", "rule_id", "observed")
+        .orderBy("event_id", "path")
+    }),
+
     // ---- training-data pipeline: dedup / text / similarity / multimodal ----
 
     "p01_dedup_exact" -> ((s, dir) => {
@@ -475,6 +497,26 @@ object SparkEntry {
          | (12,'/foo/bar'),(13,'foo'),(14,'23:59:59'),(15,'24:00:00')) AS t(id, s)
          |ORDER BY id""".stripMargin
     },
+
+    "v10_discriminator" ->
+      """SELECT * FROM (
+        | SELECT o_orderkey, '/o_totalprice' AS path, 'maximum' AS rule_id FROM orders
+        |  WHERE o_orderstatus = 'O' AND o_totalprice > 400000
+        | UNION ALL SELECT o_orderkey, '/o_totalprice', 'maximum' FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_totalprice > 450000
+        | UNION ALL SELECT o_orderkey, '/o_totalprice', 'maximum' FROM orders
+        |  WHERE o_orderstatus = 'P' AND o_totalprice > 300000
+        |) t ORDER BY o_orderkey""".stripMargin,
+
+    "v11_nested_json" ->
+      """WITH parsed AS (
+        | SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k FROM events)
+        |SELECT * FROM (
+        | SELECT event_id, '/k' AS path, 'minimum' AS rule_id, CAST(k AS VARCHAR) AS observed
+        |  FROM parsed WHERE k < 10
+        | UNION ALL SELECT event_id, '/k', 'maximum', CAST(k AS VARCHAR)
+        |  FROM parsed WHERE k > 80
+        |) t ORDER BY event_id, path""".stripMargin,
 
     "p01_dedup_exact" ->
       """WITH dd AS (

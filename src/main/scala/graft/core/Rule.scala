@@ -86,6 +86,13 @@ object Rule {
     * wrapped rule. */
   final case class Nullable(rule: Rule) extends Rule
 
+  /** OpenAPI-style discriminator (reference OpenAPIv2.pm:410-416,
+    * OpenAPIv3.pm:340-349): the value of `field` selects which rule pack
+    * applies to the row — per-`source` rule dispatch at scale. Unmatched
+    * values fall through to `default` (Always if None). */
+  final case class Discriminator(field: String, mapping: Seq[(String, Rule)],
+      default: Option[Rule] = None) extends Rule
+
   /** Custom predicate — the engine's analog of the reference's extension
     * points (format code-refs Schema.pm:21, `_validate_type_*` subclassing
     * Schema.pm:876-879): a named Column predicate over the target value.
@@ -126,6 +133,8 @@ object Rule {
     case AnyOf(rs)                 => combine(rs)
     case OneOf(rs)                 => combine(rs)
     case Not(r)                    => referencedFields(r)
+    case Discriminator(f, mapping, default) =>
+      combine(mapping.map(_._2) ++ default.toSeq).map(_ + f)
     case Nullable(r)               => referencedFields(r)
     case IfThenElse(c, t, e)       => combine(Seq(c) ++ t ++ e)
     // leaf value rules on the row target itself, or rules that need the

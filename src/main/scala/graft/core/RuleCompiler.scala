@@ -190,9 +190,25 @@ object RuleCompiler {
       }
 
       case Items(sub) => arrayRule(dt, target) { (et, arr) =>
-        when(arr.isNull, noErrors).otherwise(
-          flatten(transform(arr, (x, i) =>
-            compile(sub, et, x, concat(path, lit("/"), i.cast(StringType)), ctx))))
+        sub match {
+          // distribute items over a keyword conjunction: items({min,max}) ≡
+          // concat(items(min), items(max)). Each leaf then uses the
+          // null-struct path below — per-element `concat` of error arrays
+          // allocates even for passing elements and is GC-bound at scale
+          // (measured: 2.6× not 4× scaling on a 4× core step).
+          case All(parts) =>
+            parts.map(p => compile(Items(p), dt, target, path, ctx))
+              .reduceOption(concat(_, _)).getOrElse(noErrors)
+          case leaf if emitsSingleError(leaf) =>
+            // passing element → NULL (no allocation); failing → its struct
+            val perElem = transform(arr, (x, i) =>
+              try_element_at(compile(leaf, et, x, concat(path, lit("/"), i.cast(StringType)), ctx), lit(1)))
+            when(arr.isNull, noErrors).otherwise(filter(perElem, e => e.isNotNull))
+          case _ =>
+            when(arr.isNull, noErrors).otherwise(
+              flatten(transform(arr, (x, i) =>
+                compile(sub, et, x, concat(path, lit("/"), i.cast(StringType)), ctx))))
+        }
       }
 
       case TupleItems(rules, additional) => arrayRule(dt, target) { (et, arr) =>
@@ -359,6 +375,17 @@ object RuleCompiler {
       case Nullable(sub) =>
         when(target.isNull, noErrors).otherwise(compile(sub, dt, target, path, ctx))
 
+      case Discriminator(field, mapping, default) => structRule(dt, target) { st =>
+        if (!st.fieldNames.contains(field)) noErrors
+        else {
+          val disc = target.getField(field)
+          val fallback = default.map(compile(_, dt, target, path, ctx)).getOrElse(noErrors)
+          mapping.foldRight(fallback) { case ((value, sub), acc) =>
+            when(disc === lit(value), compile(sub, dt, target, path, ctx)).otherwise(acc)
+          }
+        }
+      }
+
       case Predicate(ruleId, message, pred) =>
         check(pred(target), mkErr(path, ruleId, lit("custom"), lit(message),
           observedOf(target, dt)), target)
@@ -367,6 +394,15 @@ object RuleCompiler {
       // semantics: keywords constrain only their own type)
       case _ => noErrors
     }
+  }
+
+  /** Leaf rules that produce at most one error for a scalar target —
+    * eligible for the allocation-free per-element path in `Items`. */
+  private def emitsSingleError(r: Rule): Boolean = r match {
+    case _: Rule.TypeIs | _: Rule.Enum | _: Rule.Const | _: Rule.Minimum |
+         _: Rule.Maximum | _: Rule.MultipleOf | _: Rule.MinLength |
+         _: Rule.MaxLength | _: Rule.Pattern | _: Rule.Format | Rule.Never => true
+    case _ => false
   }
 
   private def num(v: Double): String =

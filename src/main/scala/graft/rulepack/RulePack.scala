@@ -171,6 +171,22 @@ object RulePack {
         case _ =>
       }
 
+      // engine extension keywords (x- prefix like OpenAPI extensions)
+      o.get("x-discriminator").foreach {
+        case d: JObj =>
+          val field = d.get("propertyName").collect { case JStr(f) => f }
+            .getOrElse(throw new IllegalArgumentException("x-discriminator needs propertyName"))
+          val mapping = d.get("mapping") match {
+            case Some(JObj(fields)) => fields.map { case (k, s) => k -> subRule(s, seen) }
+            case _ => Vector.empty
+          }
+          rules += Discriminator(field, mapping, d.get("default").map(subRule(_, seen)))
+        case _ =>
+      }
+      if (o.get("x-predicate").isDefined)
+        throw new IllegalArgumentException(
+          "x-predicate marks a code-defined rule; it cannot be reconstructed from JSON")
+
       o.get("not").foreach(s => rules += Not(subRule(s, seen)))
       o.get("allOf").foreach { case JArr(items) => rules += AllOf(items.map(subRule(_, seen))); case _ => }
       o.get("anyOf").foreach { case JArr(items) => rules += AnyOf(items.map(subRule(_, seen))); case _ => }
@@ -188,6 +204,58 @@ object RulePack {
     }
 
     build(root, Set.empty)
+  }
+
+  /** Rule-pack linting — the analog of the reference validating a schema
+    * against its meta-schema before use (`is_invalid`/`errors`,
+    * Schema.pm:14-19, 89): structural problems are caught on the driver
+    * before any job launches. Returns human-readable problems (empty =
+    * clean). */
+  def lint(rule: Rule): Seq[String] = {
+    import graft.functions.Formats
+    def walk(r: Rule, path: String): Seq[String] = r match {
+      case Pattern(p) =>
+        if (Formats.regexCompilable(p)) Nil else Seq(s"$path: uncompilable pattern: $p")
+      case Format(f) =>
+        if (Formats.registry.contains(f)) Nil
+        else Seq(s"$path: unknown format '$f' (permissive registries pass it at runtime)")
+      case All(rs) =>
+        val bounds = rs.collect { case Minimum(v, _) => v }
+        val maxes = rs.collect { case Maximum(v, _) => v }
+        val conflict =
+          for (lo <- bounds.maxOption; hi <- maxes.minOption if lo > hi)
+            yield s"$path: minimum $lo > maximum $hi (never satisfiable)"
+        conflict.toSeq ++ rs.flatMap(walk(_, path))
+      case Enum(vs) if vs.isEmpty => Seq(s"$path: empty enum (never satisfiable)")
+      case MinLength(n) if n < 0 => Seq(s"$path: negative minLength")
+      case MinItems(n) if n < 0 => Seq(s"$path: negative minItems")
+      case Properties(props) => props.flatMap { case (k, sub) => walk(sub, s"$path/$k") }
+      case PatternProperties(props) =>
+        props.flatMap { case (re, sub) =>
+          (if (Formats.regexCompilable(re)) Nil else Seq(s"$path: uncompilable patternProperties regex: $re")) ++
+            walk(sub, s"$path/<$re>")
+        }
+      case Items(sub) => walk(sub, s"$path/items")
+      case TupleItems(rs, add) =>
+        rs.zipWithIndex.flatMap { case (s, i) => walk(s, s"$path/items/$i") } ++
+          add.toSeq.flatMap(walk(_, s"$path/additionalItems"))
+      case Contains(sub, minC, maxC) =>
+        (for (lo <- minC; hi <- maxC if lo > hi) yield s"$path: minContains $lo > maxContains $hi").toSeq ++
+          walk(sub, s"$path/contains")
+      case Not(sub) => walk(sub, s"$path/not")
+      case AllOf(rs) => rs.zipWithIndex.flatMap { case (s, i) => walk(s, s"$path/allOf/$i") }
+      case AnyOf(rs) => rs.zipWithIndex.flatMap { case (s, i) => walk(s, s"$path/anyOf/$i") }
+      case OneOf(rs) => rs.zipWithIndex.flatMap { case (s, i) => walk(s, s"$path/oneOf/$i") }
+      case IfThenElse(c, t, e) =>
+        walk(c, s"$path/if") ++ t.toSeq.flatMap(walk(_, s"$path/then")) ++ e.toSeq.flatMap(walk(_, s"$path/else"))
+      case Nullable(sub) => walk(sub, path)
+      case Discriminator(_, mapping, default) =>
+        mapping.flatMap { case (k, s) => walk(s, s"$path/x-discriminator/$k") } ++
+          default.toSeq.flatMap(walk(_, s"$path/x-discriminator/default"))
+      case DependentSchemas(deps) => deps.flatMap { case (k, s) => walk(s, s"$path/dependentSchemas/$k") }
+      case _ => Nil
+    }
+    walk(rule, "")
   }
 
   private val metaKeys = Set("$schema", "$id", "id", "$anchor", "$comment",

@@ -30,6 +30,18 @@ object Drift {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Same histogram via the custom [[graft.functions.HistogramSketch]]
+    * aggregate: one aggregation, no per-bin shuffle rows — preferable inside
+    * a wider `agg(...)` (e.g. per-source sketches next to other stats).
+    * Empty bins are dropped to match [[histogram]]'s shape. */
+  def histogramOnePass(df: DataFrame, valueCol: String, lo: Double, hi: Double, bins: Int): DataFrame = {
+    graft.functions.HistogramSketch.register(df.sparkSession)
+    df.agg(graft.functions.HistogramSketch
+        .histogramSketch(col(valueCol), lo, hi, bins).as("h"))
+      .select(posexplode(col("h")).as(Seq("bin", "n")))
+      .where(col("n") > 0)
+  }
+
   /** PSI between two histograms over the same binning:
     * `sum((p-q) * ln(p/q))` with epsilon-clamped proportions (standard
     * practice so empty bins don't blow up the log). PSI > 0.2 is the usual
@@ -47,7 +59,7 @@ object Drift {
     val p = proportions(reference).withColumnRenamed("prop", "p")
     val q = proportions(current).withColumnRenamed("prop", "q")
     // histograms are tiny (≤ thousands of bins): broadcast outer join
-    p.join(broadcast(q), Seq("bin"), "full_outer")
+    p.join(q, Seq("bin"), "full_outer") // bins are tiny; hint-free (broadcast unsupported for full-outer)
       .select(
         col("bin"),
         greatest(coalesce(col("p"), lit(0.0)), lit(eps)).as("p"),

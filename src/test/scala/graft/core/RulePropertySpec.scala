@@ -1,0 +1,93 @@
+package graft.core
+
+import graft.SparkSuite
+import graft.core.Rule._
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Arbitrary, Gen}
+
+
+/** Property-based agreement between the Catalyst compiler and a slow
+  * driver-side oracle interpreter (SURVEY.md §5 test plan): for random rule
+  * trees and random values, the engine's pass/fail must equal the oracle's.
+  * All rules for a batch are evaluated in ONE Spark job (one column per
+  * rule) to keep the property test fast. */
+class RulePropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- oracle interpreter (pass = no errors), null-skip semantics ----
+  private def passes(rule: Rule, v: Option[Long]): Boolean = rule match {
+    case Always => true
+    case Never  => false
+    case TypeIs(types) =>
+      v match {
+        case None    => types.contains("null")
+        case Some(_) => types.contains("integer") || types.contains("number")
+      }
+    case Enum(values) =>
+      v.forall(x => values.exists { case JInt(i) => i == x; case JNum(d) => d == x; case _ => false })
+    case Const(JNull) => v.isEmpty
+    case Const(JInt(i)) => v.forall(_ == i)
+    case Const(_) => v.isEmpty || false
+    case Minimum(m, excl) => v.forall(x => if (excl) x > m else x >= m)
+    case Maximum(m, excl) => v.forall(x => if (excl) x < m else x <= m)
+    case MultipleOf(d) => v.forall(x => x % d.toLong == 0)
+    case Not(r) => !passes(r, v)
+    case All(rs) => rs.forall(passes(_, v))
+    case AllOf(rs) => rs.forall(passes(_, v))
+    case AnyOf(rs) => rs.exists(passes(_, v))
+    case OneOf(rs) => rs.count(passes(_, v)) == 1
+    case IfThenElse(c, t, e) =>
+      if (passes(c, v)) t.forall(passes(_, v)) else e.forall(passes(_, v))
+    case Nullable(r) => v.isEmpty || passes(r, v)
+    // string/array/object keywords don't apply to an integer column
+    case _ => true
+  }
+
+  // ---- rule generator over the integer domain ----
+  private val genLeaf: Gen[Rule] = Gen.oneOf(
+    Gen.const(Always),
+    Gen.const(Never),
+    Gen.oneOf(Seq("integer"), Seq("number"), Seq("integer", "null"), Seq("null")).map(TypeIs(_)),
+    Gen.nonEmptyListOf(Gen.choose(-5L, 15L)).map(is => Enum(is.distinct.map(JInt(_)))),
+    Gen.choose(-5L, 15L).map(i => Const(JInt(i))),
+    Gen.const(Const(JNull)),
+    Gen.zip(Gen.choose(-5.0, 15.0).map(math.floor), Arbitrary.arbBool.arbitrary).map { case (m, e) => Minimum(m, e) },
+    Gen.zip(Gen.choose(-5.0, 15.0).map(math.floor), Arbitrary.arbBool.arbitrary).map { case (m, e) => Maximum(m, e) },
+    Gen.choose(1L, 7L).map(d => MultipleOf(d.toDouble)))
+
+  private def genRule(depth: Int): Gen[Rule] =
+    if (depth <= 0) genLeaf
+    else Gen.frequency(
+      4 -> genLeaf,
+      1 -> Gen.lzy(genRule(depth - 1)).map(Not(_)),
+      1 -> Gen.lzy(Gen.listOfN(2, genRule(depth - 1))).map(AllOf(_)),
+      1 -> Gen.lzy(Gen.listOfN(2, genRule(depth - 1))).map(AnyOf(_)),
+      1 -> Gen.lzy(Gen.listOfN(3, genRule(depth - 1))).map(OneOf(_)),
+      1 -> Gen.lzy(Gen.zip(genRule(depth - 1), genRule(depth - 1), genRule(depth - 1)))
+        .map { case (c, t, e) => IfThenElse(c, Some(t), Some(e)) })
+
+  test("compiler agrees with the oracle interpreter on random rules × values") {
+    val values: Seq[Option[Long]] = (-6L to 16L).map(Some(_)) :+ None
+    val df = values.toDF("value").cache()
+    val dt = df.schema("value").dataType
+
+    // 3 batches × 40 rules — each batch is one Spark job
+    (1 to 3).foreach { batch =>
+      val rules = Gen.listOfN(40, genRule(2)).apply(
+        Gen.Parameters.default.withSize(10),
+        org.scalacheck.rng.Seed(batch * 7919L)).get
+      val cols = rules.zipWithIndex.map { case (r, i) =>
+        (size(RuleCompiler.compile(r, dt, col("value"), lit(""))) === 0).as(s"r$i")
+      }
+      val got = df.select(cols: _*).collect()
+      values.zipWithIndex.foreach { case (v, vi) =>
+        rules.zipWithIndex.foreach { case (r, ri) =>
+          val engine = got(vi).getBoolean(ri)
+          val oracle = passes(r, v)
+          assert(engine === oracle,
+            s"disagreement on value=$v rule=$r (engine=$engine oracle=$oracle)")
+        }
+      }
+    }
+  }
+}
