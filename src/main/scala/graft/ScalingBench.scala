@@ -69,6 +69,23 @@ object ScalingBench {
       val reps = args.lift(3).map(_.toInt).getOrElse(5)
       val s = session(cores)
       val rows = s.read.parquet(dataDir).count()
+
+      // hardware-ceiling calibration: an embarrassingly parallel CPU-bound
+      // Spark job (hash chain over a range, no input, no shuffle). Its
+      // scaling between levels is the machine's ceiling — turbo-frequency
+      // drop under full load and scheduler overheads show up here, not in
+      // engine design. Engine efficiency is reported raw AND relative to it.
+      import org.apache.spark.sql.functions.{col, lit, pmod, sum, xxhash64}
+      def calib(): Double = {
+        val t0 = System.nanoTime()
+        // pmod keeps the ANSI sum from overflowing long
+        s.range(0, 400000000L, 1, cores * 4)
+          .select(sum(pmod(xxhash64(xxhash64(xxhash64(col("id")))), lit(1024)))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      calib() // warm
+      val calibT = (1 to 3).map(_ => calib()).min
+
       audit(s, dataDir) // warm-up: codegen + page cache
       val times = (1 to reps).map { i =>
         val t0 = System.nanoTime()
@@ -80,15 +97,21 @@ object ScalingBench {
       s.stop()
       val sorted = times.sorted
       val med = sorted(sorted.size / 2)
-      println(f"""{"cores":$cores,"rows":$rows,"wall_med":$med%.3f,"wall_min":${sorted.head}%.3f,"reps":$reps}""")
+      println(f"""{"cores":$cores,"rows":$rows,"wall_med":$med%.3f,"wall_min":${sorted.head}%.3f,"calib":$calibT%.3f,"reps":$reps}""")
 
     case Some("report") =>
       val Array(_, rowsS, smallS, tSmallS, bigS, tBigS) = args.take(6)
       val (rows, small, big) = (rowsS.toLong, smallS.toInt, bigS.toInt)
       val (tSmall, tBig) = (tSmallS.toDouble, tBigS.toDouble)
+      // optional calibration walls: <calibSmall> <calibBig>
+      val calib = (args.lift(6).map(_.toDouble), args.lift(7).map(_.toDouble))
       val thrSmall = rows / tSmall
       val thrBig = rows / tBig
       val eff = thrBig / ((big.toDouble / small) * thrSmall)
+      val ceiling = calib match {
+        case (Some(cs), Some(cb)) => Some(cs / cb / (big.toDouble / small))
+        case _ => None
+      }
       val report =
         f"""# BENCH — scaling efficiency (north rule evidence)
            |
@@ -101,11 +124,13 @@ object ScalingBench {
            || metric | value |
            ||---|---|
            || input rows | $rows |
-           || wall @ local[$small] (median) | $tSmall%.2f s |
-           || wall @ local[$big] (median) | $tBig%.2f s |
+           || wall @ local[$small] (best of reps) | $tSmall%.2f s |
+           || wall @ local[$big] (best of reps) | $tBig%.2f s |
            || throughput @ local[$small] | ${thrSmall / 1e6}%.3f M rows/s |
            || throughput @ local[$big] | ${thrBig / 1e6}%.3f M rows/s |
            || scaling efficiency thr@${big / small}N/(${big / small}·thr@N) | $eff%.3f |
+           || hardware ceiling (same ratio, embarrassingly-parallel hash job) | ${ceiling.map(c => f"$c%.3f").getOrElse("n/a")} |
+           || efficiency normalized to hardware ceiling | ${ceiling.map(c => f"${eff / c}%.3f").getOrElse("n/a")} |
            || target | ≥ 0.8 |
            |
            |Single-node caveats (do not apply to a real N→4N executor

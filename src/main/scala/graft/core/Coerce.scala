@@ -37,6 +37,21 @@ object Coerce {
     * static in a typed schema — provided for completeness. */
   def scalarToArray(c: Column): Column = array(c)
 
+  /** OpenAPI v2 collectionFormat splitting (reference OpenAPIv2.pm:245-256):
+    * csv/ssv/tsv/pipes delimited string → array<string>. `multi` has no
+    * single-column representation (it is a repeated query parameter) and is
+    * the caller's concern. */
+  def splitCollection(c: Column, format: String): Column = {
+    val sep = format match {
+      case "csv"   => ","
+      case "ssv"   => " "
+      case "tsv"   => "\t"
+      case "pipes" => "\\|"
+      case other   => throw new IllegalArgumentException(s"unknown collectionFormat: $other")
+    }
+    split(c, sep)
+  }
+
   sealed trait Coercion
   case object ToBoolean extends Coercion
   case object ToNumber extends Coercion

@@ -72,6 +72,10 @@ object Rule {
   final case class ClosedWorld(allowed: Seq[String], patterns: Seq[String], rule: Option[Rule]) extends Rule
   final case class MinProperties(n: Int) extends Rule
   final case class MaxProperties(n: Int) extends Rule
+  /** `propertyNames` (draft6+, reference Draft6.pm:111-122): every key name
+    * must satisfy the rule. Static for struct columns (checked at compile);
+    * runtime `forall(map_keys(m), …)` for MapType columns. */
+  final case class PropertyNames(rule: Rule) extends Rule
   final case class DependentRequired(deps: Seq[(String, Seq[String])]) extends Rule
   final case class DependentSchemas(deps: Seq[(String, Rule)]) extends Rule
 
@@ -85,6 +89,16 @@ object Rule {
   /** OpenAPI `nullable` (reference OpenAPIv3.pm:307-401): null bypasses the
     * wrapped rule. */
   final case class Nullable(rule: Rule) extends Rule
+
+  /** OpenAPI readOnly/writeOnly modality (reference OpenAPIv2.pm:401-408,
+    * OpenAPIv3.pm:356-396): a read-only rule is skipped when validating
+    * requests, write-only when validating responses. The direction comes
+    * from [[RuleCompiler.Ctx]]. */
+  sealed trait Direction
+  case object Request extends Direction
+  case object Response extends Direction
+  case object Both extends Direction
+  final case class Modal(rule: Rule, appliesTo: Direction) extends Rule
 
   /** OpenAPI-style discriminator (reference OpenAPIv2.pm:410-416,
     * OpenAPIv3.pm:340-349): the value of `field` selects which rule pack

@@ -53,7 +53,8 @@ object RuleCompiler {
 
   final case class Ctx(
       formats: Formats.Registry = Formats.Registry(),
-      coerce: Set[String] = Set.empty)
+      coerce: Set[String] = Set.empty,
+      direction: Rule.Direction = Rule.Both)
 
   /** JSON type name of a Spark DataType (compile-time `data_type`). */
   def jsonTypeOf(dt: DataType): String = dt match {
@@ -323,17 +324,34 @@ object RuleCompiler {
         }
       }
 
-      case MinProperties(n) => structRule(dt, target) { st =>
-        val cnt = presentCount(st, target)
+      case MinProperties(n) => objectCount(dt, target) { cnt =>
         check(cnt >= n, mkErr(path, "minProperties", lit("object"),
           concat(lit("Not enough properties: "), cnt.cast(StringType), lit(s"/$n.")),
           observedOf(target, dt)), target)
       }
-      case MaxProperties(n) => structRule(dt, target) { st =>
-        val cnt = presentCount(st, target)
+      case MaxProperties(n) => objectCount(dt, target) { cnt =>
         check(cnt <= n, mkErr(path, "maxProperties", lit("object"),
           concat(lit("Too many properties: "), cnt.cast(StringType), lit(s"/$n.")),
           observedOf(target, dt)), target)
+      }
+
+      case PropertyNames(sub) => dt match {
+        // struct keys are static: evaluate the sub-rule once per field name
+        // at compile time (constant per row)
+        case st: StructType =>
+          val bad = st.fieldNames.filterNot { name =>
+            evalStaticString(sub, name, ctx)
+          }
+          if (bad.isEmpty) noErrors
+          else when(target.isNull, noErrors).otherwise(
+            concat(bad.toSeq.map(name => one(mkErr(concat(path, lit(s"/$name")), "propertyNames",
+              lit("object"), lit("Does not match propertyNames."), lit(name)))): _*))
+        case MapType(_: StringType, _, _) =>
+          when(target.isNull, noErrors).otherwise(
+            filter(transform(map_keys(target), k =>
+              try_element_at(compile(sub, StringType, k, path, ctx), lit(1))),
+              e => e.isNotNull))
+        case _ => noErrors
       }
 
       case DependentRequired(deps) => structRule(dt, target) { st =>
@@ -386,6 +404,13 @@ object RuleCompiler {
         }
       }
 
+      case Modal(sub, appliesTo) =>
+        // readOnly fields don't constrain requests; writeOnly don't
+        // constrain responses (OpenAPIv3.pm:356-396)
+        if (appliesTo == Rule.Both || ctx.direction == Rule.Both || appliesTo == ctx.direction)
+          compile(sub, dt, target, path, ctx)
+        else noErrors
+
       case Predicate(ruleId, message, pred) =>
         check(pred(target), mkErr(path, ruleId, lit("custom"), lit(message),
           observedOf(target, dt)), target)
@@ -416,6 +441,37 @@ object RuleCompiler {
   private def structRule(dt: DataType, target: Column)(f: StructType => Column): Column = dt match {
     case st: StructType => f(st)
     case _              => noErrors
+  }
+
+  /** Key count of an object column: non-null fields for a (static) struct,
+    * `size(map_keys(m))` for a dynamic map. */
+  private def objectCount(dt: DataType, target: Column)(f: Column => Column): Column = dt match {
+    case st: StructType => f(presentCount(st, target))
+    case _: MapType     => f(size(map_keys(target)))
+    case _              => noErrors
+  }
+
+  /** Driver-side evaluation of a string rule against a constant (struct
+    * field names are static, so `propertyNames` resolves at compile time —
+    * the mirror of the reference's runtime key loop, Draft6.pm:111-122). */
+  private def evalStaticString(rule: Rule, s: String, ctx: Ctx): Boolean = {
+    import Rule._
+    rule match {
+      case Always => true
+      case Never => false
+      case All(rs) => rs.forall(evalStaticString(_, s, ctx))
+      case AllOf(rs) => rs.forall(evalStaticString(_, s, ctx))
+      case AnyOf(rs) => rs.exists(evalStaticString(_, s, ctx))
+      case OneOf(rs) => rs.count(evalStaticString(_, s, ctx)) == 1
+      case Not(r) => !evalStaticString(r, s, ctx)
+      case TypeIs(ts) => ts.contains("string")
+      case Pattern(p) => java.util.regex.Pattern.compile(p).matcher(s).find()
+      case MinLength(n) => s.codePointCount(0, s.length) >= n
+      case MaxLength(n) => s.codePointCount(0, s.length) <= n
+      case Enum(vs) => vs.contains(JStr(s))
+      case Const(v) => v == JStr(s)
+      case _ => true
+    }
   }
 
   private def presentCount(st: StructType, target: Column): Column =

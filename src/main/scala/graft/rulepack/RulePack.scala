@@ -148,6 +148,7 @@ object RulePack {
         case JBool(true)  =>
         case s            => rules += ClosedWorld(propNames, patternRes, Some(subRule(s, seen)))
       }
+      o.get("propertyNames").foreach(s => rules += PropertyNames(subRule(s, seen)))
       o.get("minProperties").foreach(n => intOf(n).foreach(i => rules += MinProperties(i)))
       o.get("maxProperties").foreach(n => intOf(n).foreach(i => rules += MaxProperties(i)))
 

@@ -74,6 +74,7 @@ object RulePackEncoder {
     case Required(fs)   => Vector("required" -> JArr(fs.map(JStr(_))))
     case ClosedWorld(_, _, None)    => Vector("additionalProperties" -> JBool(false))
     case ClosedWorld(_, _, Some(r)) => Vector("additionalProperties" -> encode(r))
+    case PropertyNames(r) => Vector("propertyNames" -> encode(r))
     case MinProperties(n) => Vector("minProperties" -> JInt(n))
     case MaxProperties(n) => Vector("maxProperties" -> JInt(n))
     case DependentRequired(deps) =>

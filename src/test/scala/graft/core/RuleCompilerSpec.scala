@@ -245,6 +245,20 @@ class RuleCompilerSpec extends SparkSuite {
       Seq("/" -> "String is too short: 1/2."))
   }
 
+  test("propertyNames: static for structs, runtime for maps (Draft6.pm:111-122)") {
+    // struct: field names are static — "credit_card" fails maxLength 8
+    val df = Seq(("a", "b")).toDF("name", "credit_card")
+    assert(checkRow(df, """{"propertyNames":{"maxLength":8}}""") ==
+      Seq("/credit_card" -> "Does not match propertyNames."))
+    assert(checkRow(df, """{"propertyNames":{"pattern":"^[a-z_]+$"}}""").isEmpty)
+    // map: runtime key check
+    val mdf = Seq(Map("ok" -> 1, "Bad Key" -> 2)).toDF("value")
+    assert(checkCol(mdf, """{"propertyNames":{"pattern":"^[a-z]+$"}}""").size === 1)
+    // map property counts
+    assert(checkCol(mdf, """{"maxProperties":1}""") == Seq("/" -> "Too many properties: 2/1."))
+    assert(checkCol(mdf, """{"minProperties":3}""") == Seq("/" -> "Not enough properties: 2/3."))
+  }
+
   test("unicode strings in enum + messages (t/unicode-multibyte.t:16-24)") {
     val df = Seq("foo♫bar").toDF("value")
     assert(checkCol(df, """{"enum":["foo♫bar"]}""").isEmpty)

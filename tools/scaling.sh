@@ -22,6 +22,8 @@ BIG_JSON=$(measure $BIG)
 echo "$SMALL_JSON"; echo "$BIG_JSON"
 
 ROWS=$(echo "$SMALL_JSON" | sed 's/.*"rows":\([0-9]*\).*/\1/')
-TS=$(echo "$SMALL_JSON" | sed 's/.*"wall_med":\([0-9.]*\).*/\1/')
-TB=$(echo "$BIG_JSON" | sed 's/.*"wall_med":\([0-9.]*\).*/\1/')
-sbt -batch "runMain graft.ScalingBench report $ROWS $SMALL $TS $BIG $TB" 2>/dev/null | grep -E '\||efficiency'
+TS=$(echo "$SMALL_JSON" | sed 's/.*"wall_min":\([0-9.]*\).*/\1/')
+TB=$(echo "$BIG_JSON" | sed 's/.*"wall_min":\([0-9.]*\).*/\1/')
+CS=$(echo "$SMALL_JSON" | sed 's/.*"calib":\([0-9.]*\).*/\1/')
+CB=$(echo "$BIG_JSON" | sed 's/.*"calib":\([0-9.]*\).*/\1/')
+sbt -batch "runMain graft.ScalingBench report $ROWS $SMALL $TS $BIG $TB $CS $CB" 2>/dev/null | grep -E '\||efficiency'
