@@ -33,11 +33,23 @@ object Dedup {
   /** Distinct k-word shingles per document (lower-cased, whitespace
     * tokenized). `(id, shingle)` exploded — the inverted-index input. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val ws = TextAnalysis.words(col(textCol))
-    val sh = array_distinct(transform(
-      sequence(lit(0), greatest(size(ws) - k, lit(-1))),
-      i => array_join(slice(ws, i + 1, lit(k)), " ")))
-    df.select(col(idCol).as("id"), explode(sh).as("shingle"))
+    df.select(col(idCol).as("id"), explode(shingleArray(col(textCol), k)).as("shingle"))
+  }
+
+  /** Distinct k-word shingle array, built by zipping the word array with its
+    * own k−1 shifted copies. CRITICAL: the higher-order-function lambda must
+    * NOT reference the word-array expression — a lambda-captured expression
+    * re-evaluates per ELEMENT, turning shingling into O(len²) per document
+    * (measured 5× slower via `element_at(ws, …)` inside `transform`).
+    * `zip_with` pads the shorter side with null and `concat(a, null)` is
+    * null, so positions past len−k drop out in the filter. */
+  def shingleArray(text: Column, k: Int): Column = {
+    val ws = TextAnalysis.words(text)
+    val joined = (1 until k).foldLeft(ws) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(j + 1), greatest(size(ws) - j, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(joined, x => x.isNotNull))
   }
 
   /** Document pairs with n-gram Jaccard ≥ `minJaccard`, via inverted-index
@@ -45,15 +57,17 @@ object Dedup {
     * `(id_a, id_b, n_common, n_a, n_b, jaccard)` with id_a < id_b. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       minJaccard: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k).cache()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a").join(sh.as("b"), Seq("shingle"))
+    // set sizes ride along with the exploded shingles, so the pair counts
+    // and the jaccard denominator come out of ONE inverted-index join + ONE
+    // aggregation — no cache, no size-lookup joins (scale: the only shuffle
+    // partitions by shingle, then by pair)
+    val sh = df.select(col(idCol).as("id"), shingleArray(col(textCol), k).as("sh"))
+      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+    sh.as("a").join(sh.as("b"), Seq("shingle"))
       .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .where(col("jaccard") >= minJaccard)
@@ -144,4 +158,21 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hamming32(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Explode-based SimHash `(id, simhash)` — the corpus-scale path: each
+    * token hashes once, 32 conditional sums ride one partial aggregation
+    * (the per-row [[simhash32]] expression re-evaluates the token-hash array
+    * once per bit, fine for narrow selections, wasteful over a corpus). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      family: HashFamily = Md5Portable): DataFrame = {
+    val h = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.words(col(textCol))).as("word"))
+      .select(col("id"), seededHash(col("word"), 0, family).as("hv"))
+    val votes = (0 until 32).map(b =>
+      sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$b"))
+    h.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 }
