@@ -244,6 +244,20 @@ object SparkEntry {
         .orderBy("event_id", "path")
     }),
 
+    "v12_coerce_numbers" -> ((s, dir) => {
+      // coercion projection (reference coerce('numbers')): the JSON props
+      // value arrives as a string; the strict JSON-number regex admits it
+      // into a typed column, junk becomes NULL — non-mutating repair
+      val ev = t(s, dir, "events")
+        .withColumn("k_str", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+      val coerced = core.Coerce(ev.select(col("event_id"), col("k_str").as("k_num")),
+        Map("k_num" -> core.Coerce.ToNumber))
+      coerced.groupBy((col("k_num") >= 50).as("k_ge_50"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("k_num").cast("decimal(20,4)")), 2).cast("double").as("sum_k"))
+        .orderBy(col("k_ge_50").asc_nulls_first)
+    }),
+
     // ---- training-data pipeline: dedup / text / similarity / multimodal ----
 
     "p01_dedup_exact" -> ((s, dir) => {
@@ -517,6 +531,17 @@ object SparkEntry {
         | UNION ALL SELECT event_id, '/k', 'maximum', CAST(k AS VARCHAR)
         |  FROM parsed WHERE k > 80
         |) t ORDER BY event_id, path""".stripMargin,
+
+    "v12_coerce_numbers" ->
+      """WITH coerced AS (
+        | SELECT event_id,
+        |  CASE WHEN regexp_matches(regexp_extract(props, '"k": (\d+)', 1),
+        |            '^-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?$')
+        |       THEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) END AS k_num
+        | FROM events)
+        |SELECT k_num >= 50 AS k_ge_50, count(*) AS n,
+        | round(sum(CAST(k_num AS DECIMAL(20,4))),2)::DOUBLE AS sum_k
+        |FROM coerced GROUP BY 1 ORDER BY 1 ASC NULLS FIRST""".stripMargin,
 
     "p01_dedup_exact" ->
       """WITH dd AS (

@@ -43,6 +43,28 @@ object RulePack {
   def parse(json: String, store: Store = Store()): Rule =
     fromJson(JValue.parse(json), store)
 
+  /** Draft-dialect sniffing (reference Validator.pm:103-124): the `$schema`
+    * / `swagger` / `openapi` keys select the dialect. The parser itself is
+    * dialect-tolerant (it accepts draft-4 boolean-style and draft-6+
+    * numeric-style exclusive bounds simultaneously), so the dialect is
+    * informational + used by lint for dialect-specific advice. */
+  def detectDialect(root: JValue): String = root match {
+    case o: JObj =>
+      o.get("$schema").collect { case JStr(s) => s } match {
+        case Some(s) if s.contains("draft-04") => "draft4"
+        case Some(s) if s.contains("draft-06") => "draft6"
+        case Some(s) if s.contains("draft-07") => "draft7"
+        case Some(s) if s.contains("2019-09")  => "draft2019-09"
+        case Some(s) if s.contains("2020-12")  => "draft2020-12"
+        case Some(_) => "unknown"
+        case None =>
+          if (o.get("swagger").contains(JStr("2.0"))) "openapiv2"
+          else if (o.get("openapi").exists { case JStr(v) => v.startsWith("3."); case _ => false }) "openapiv3"
+          else "draft7" // the reference's default dialect (Validator.pm:124)
+      }
+    case _ => "draft7"
+  }
+
   def fromJson(root: JValue, store: Store = Store()): Rule = {
     def resolveRef(uri: String, seen: Set[String]): JValue = {
       if (seen.contains(uri))

@@ -66,6 +66,76 @@ class RulePropertySpec extends SparkSuite {
       1 -> Gen.lzy(Gen.zip(genRule(depth - 1), genRule(depth - 1), genRule(depth - 1)))
         .map { case (c, t, e) => IfThenElse(c, Some(t), Some(e)) })
 
+  // ---- string-domain oracle + generator ----
+  private def passesStr(rule: Rule, v: Option[String]): Boolean = rule match {
+    case Always => true
+    case Never  => false
+    case TypeIs(types) => v match {
+      case None    => types.contains("null")
+      case Some(_) => types.contains("string")
+    }
+    case Enum(values) => v.forall(x => values.contains(JStr(x)))
+    case Const(JNull) => v.isEmpty
+    case Const(JStr(s)) => v.forall(_ == s)
+    case Const(_) => v.isEmpty
+    case MinLength(n) => v.forall(_.length >= n)
+    case MaxLength(n) => v.forall(_.length <= n)
+    case Pattern(p) => v.forall(x => java.util.regex.Pattern.compile(p).matcher(x).find())
+    case Not(r) => !passesStr(r, v)
+    case All(rs) => rs.forall(passesStr(_, v))
+    case AllOf(rs) => rs.forall(passesStr(_, v))
+    case AnyOf(rs) => rs.exists(passesStr(_, v))
+    case OneOf(rs) => rs.count(passesStr(_, v)) == 1
+    case IfThenElse(c, t, e) =>
+      if (passesStr(c, v)) t.forall(passesStr(_, v)) else e.forall(passesStr(_, v))
+    case Nullable(r) => v.isEmpty || passesStr(r, v)
+    case _ => true
+  }
+
+  private val genStrLeaf: Gen[Rule] = {
+    val word = Gen.oneOf("a", "ab", "abc", "xyz", "hello", "", "Abc", "a1")
+    Gen.oneOf(
+      Gen.const(Always),
+      Gen.const(Never),
+      Gen.oneOf(Seq("string"), Seq("string", "null"), Seq("null"), Seq("number")).map(TypeIs(_)),
+      Gen.nonEmptyListOf(word).map(ws => Enum(ws.distinct.map(JStr(_)))),
+      word.map(w => Const(JStr(w))),
+      Gen.choose(0, 6).map(MinLength(_)),
+      Gen.choose(0, 6).map(MaxLength(_)),
+      Gen.oneOf("^a", "b$", "[0-9]", "^$", "ab", "^[a-z]+$").map(Pattern(_)))
+  }
+
+  private def genStrRule(depth: Int): Gen[Rule] =
+    if (depth <= 0) genStrLeaf
+    else Gen.frequency(
+      4 -> genStrLeaf,
+      1 -> Gen.lzy(genStrRule(depth - 1)).map(Not(_)),
+      1 -> Gen.lzy(Gen.listOfN(2, genStrRule(depth - 1))).map(AllOf(_)),
+      1 -> Gen.lzy(Gen.listOfN(2, genStrRule(depth - 1))).map(AnyOf(_)),
+      1 -> Gen.lzy(Gen.listOfN(3, genStrRule(depth - 1))).map(OneOf(_)))
+
+  test("compiler agrees with the oracle on random STRING rules × values") {
+    val values: Seq[Option[String]] =
+      Seq("a", "ab", "abc", "xyz", "hello", "", "Abc", "a1", "b", "zb").map(Some(_)) :+ None
+    val df = values.toDF("value").cache()
+    val dt = df.schema("value").dataType
+    (1 to 3).foreach { batch =>
+      val rules = Gen.listOfN(40, genStrRule(2)).apply(
+        Gen.Parameters.default.withSize(10),
+        org.scalacheck.rng.Seed(batch * 104729L)).get
+      val cols = rules.zipWithIndex.map { case (r, i) =>
+        (size(RuleCompiler.compile(r, dt, col("value"), lit(""))) === 0).as(s"r$i")
+      }
+      val got = df.select(cols: _*).collect()
+      values.zipWithIndex.foreach { case (v, vi) =>
+        rules.zipWithIndex.foreach { case (r, ri) =>
+          assert(got(vi).getBoolean(ri) === passesStr(r, v),
+            s"disagreement on value=$v rule=$r")
+        }
+      }
+    }
+  }
+
   test("compiler agrees with the oracle interpreter on random rules × values") {
     val values: Seq[Option[Long]] = (-6L to 16L).map(Some(_)) :+ None
     val df = values.toDF("value").cache()

@@ -64,6 +64,16 @@ class RulePackEncoderSpec extends SparkSuite {
     assert(RulePack.lint(RulePack.parse("""{"type":"integer","minimum":0,"maximum":10}""")).isEmpty)
   }
 
+  test("draft dialect sniffing from $schema/swagger/openapi (Validator.pm:103-124)") {
+    def d(json: String) = RulePack.detectDialect(JValue.parse(json))
+    assert(d("""{"$schema":"http://json-schema.org/draft-04/schema#"}""") === "draft4")
+    assert(d("""{"$schema":"http://json-schema.org/draft-07/schema#"}""") === "draft7")
+    assert(d("""{"$schema":"https://json-schema.org/draft/2019-09/schema"}""") === "draft2019-09")
+    assert(d("""{"swagger":"2.0"}""") === "openapiv2")
+    assert(d("""{"openapi":"3.0.1"}""") === "openapiv3")
+    assert(d("""{"type":"string"}""") === "draft7") // reference default
+  }
+
   test("x-predicate markers fail loudly on parse") {
     assertThrows[IllegalArgumentException](RulePack.parse("""{"x-predicate":"my_rule"}"""))
     // but encoding a Predicate produces the marker
