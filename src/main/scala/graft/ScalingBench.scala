@@ -44,7 +44,7 @@ object ScalingBench {
     val dim = TokenGen.allowedSources(spark)
     val pack = AuditCli.tokenRulePack(maxLen = 8192)
     val nViol = Violations.validate(facts, pack, Seq("doc_id")).count()
-    val nDup = Uniqueness.duplicateKeys(facts, Seq("doc_id")).count()
+    val nDup = Uniqueness.duplicateKeysHashed(facts, Seq("doc_id")).count()
     val nRef = Referential.violations(facts, "source", dim, "source").count()
     val nStats = ColumnStats.profile(facts).count()
     nViol + nDup + nRef + nStats

@@ -164,7 +164,9 @@ object SparkEntry {
         .orderBy("o_orderkey", "path")),
 
     "v03_unique_dup_keys" -> ((s, dir) =>
-      Uniqueness.duplicateKeys(t(s, dir, "lineitem"), Seq("l_orderkey"))
+      // hash-first scale path; result identical to the direct groupBy (and
+      // to the oracle's GROUP BY … HAVING)
+      Uniqueness.duplicateKeysHashed(t(s, dir, "lineitem"), Seq("l_orderkey"))
         .orderBy("l_orderkey")),
 
     "v04_referential_missing" -> ((s, dir) => {

@@ -26,6 +26,24 @@ object Uniqueness {
       .agg(count(lit(1)).as("n_rows"))
       .where(col("n_rows") > 1)
 
+  /** Hash-first duplicate detection — the 100 TB path. Phase 1 shuffles only
+    * `xxhash64(key)` (8 bytes/row instead of the full key; partial agg
+    * still applies), yielding candidate hashes; phase 2 exact-verifies just
+    * the candidate rows (a broadcast semi-join, then the precise groupBy
+    * over that tiny slice). Same output as [[duplicateKeys]]; hash
+    * collisions cost only a false candidate, never a wrong result. */
+  def duplicateKeysHashed(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val h = xxhash64(keyCols.map(col): _*)
+    val dupHashes = df.select(h.as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1)
+      .select("__h")
+    val candidates = df.join(broadcast(dupHashes), h === col("__h"), "left_semi")
+    candidates.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") > 1)
+  }
+
   /** Violation rows `(keyCols…, rule_id, observed)` — one per duplicated
     * fact row. Equi-join back on the key; AQE broadcasts the dup side when
     * small. */

@@ -37,6 +37,7 @@ object ComponentBench {
       org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("tokens")))).collect())
     time("validate")(Violations.validate(facts, pack, Seq("doc_id")).count())
     time("uniqueness")(Uniqueness.duplicateKeys(facts, Seq("doc_id")).count())
+    time("uniqueness_hashed")(Uniqueness.duplicateKeysHashed(facts, Seq("doc_id")).count())
     time("referential")(Referential.violations(facts, "source", dim, "source").count())
     time("stats")(ColumnStats.profile(facts).count())
     spark.stop()

@@ -55,6 +55,14 @@ class TokenPipelineSpec extends SparkSuite {
     assert(Uniqueness.verdict(facts, Seq("doc_id")).select("verdict").as[String].head() === "fail")
   }
 
+  test("hash-first uniqueness equals the direct groupBy path") {
+    val a = Uniqueness.duplicateKeys(facts, Seq("doc_id"))
+      .orderBy("doc_id").collect().toSeq
+    val b = Uniqueness.duplicateKeysHashed(facts, Seq("doc_id"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+
   test("referential: broadcast anti-join finds unregistered sources, excludes NULLs") {
     val v = Referential.violations(facts, "source", dim, "source")
     assert(v.count() === plants(TokenGen.UnregisteredPeriod))
