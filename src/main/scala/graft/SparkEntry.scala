@@ -335,6 +335,16 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("sim6"), col("rank"))
         .orderBy("query_id", "rank")),
 
+    "s03_embedding_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup: the threshold sits just under the max pairwise cosine of the synthetic vectors so the pair set is small but non-empty
+      // set over the restricted id range (the LSH bucket join is the
+      // corpus-scale pre-filter)
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
+      Similarity.nearDupPairs(emb, "vec_id", "embedding", minCosine = 0.45)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("sim6"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "m01_media_meta" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractMeta(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
@@ -651,6 +661,18 @@ object SparkEntry {
         | FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, neighbor_id, sim6, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s03_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+        |pairs AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        |     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+        |  / nullif(sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
+        |         * sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')), 0) AS cosine
+        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(cosine, 6) AS sim6 FROM pairs
+        |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

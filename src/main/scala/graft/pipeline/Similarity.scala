@@ -45,6 +45,19 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a,b) with cosine ≥
+    * `minCosine`, a.id < b.id. Brute-force form for modest corpora; at scale
+    * the LSH-bucketed variant ([[topKLsh]]'s bucket join) pre-filters
+    * candidates before the exact cosine. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
     * md5-derived value mapped to [-1, 1). */
   private def planeComponent(j: Int, d: Column): Column =
