@@ -24,18 +24,8 @@ import java.nio.file.{Files, Paths}
   */
 object ScalingBench {
 
-  private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-scaling-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  private def session(cores: Int): SparkSession =
+    GraftSession.get(cores.toString, s"graft-scaling-$cores")
 
   /** The audited workload: one full pass of row-local rules, plus the
     * uniqueness, referential and stats global rules. */

@@ -319,12 +319,15 @@ object SparkEntry {
 
     "s01_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") < 8).select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val q = emb.where(col("vec_id") < 8).select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"), Similarity.norm(col("embedding")).as("qn"))
+      val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"), Similarity.norm(col("embedding")).as("cn"))
       val scored = c.crossJoin(broadcast(q))
         .where(col("query_id") =!= col("neighbor_id"))
         .select(col("query_id"), col("neighbor_id"),
-          round(Similarity.cosine(col("qv"), col("cv")), 6).as("sim6"))
+          round(Similarity.dot(col("qv"), col("cv")) /
+            nullif(col("qn") * col("cn"), lit(0.0)), 6).as("sim6"))
       val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= 5)
         .orderBy("query_id", "rank")

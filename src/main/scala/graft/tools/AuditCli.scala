@@ -37,15 +37,7 @@ object AuditCli {
     val maxLen = args.lift(1).map(_.toLong).getOrElse(256L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-audit")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.get(cpus, "graft-audit")
 
     val t0 = System.nanoTime()
     val facts = TokenGen.tokenSequences(spark, n, numPartitions = cpus.toInt * 2, maxLen = maxLen)

@@ -13,13 +13,7 @@ object ComponentBench {
     val cores = args(0).toInt
     val dataDir = args(1)
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.get(cores.toString, "graft-component")
     val facts = spark.read.parquet(dataDir)
     val dim = TokenGen.allowedSources(spark)
     val pack = AuditCli.tokenRulePack(maxLen = 8192)

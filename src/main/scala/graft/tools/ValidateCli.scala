@@ -19,15 +19,7 @@ object ValidateCli {
     val outDir = args.lift(3)
     val idCols = idColsArg.split(",").toSeq
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-validate")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-validate")
 
     val packJson = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(packPath)), "UTF-8")
     val rule = RulePack.parse(packJson)
