@@ -123,6 +123,12 @@ object ScalingBench {
            || efficiency normalized to hardware ceiling | ${ceiling.map(c => f"${eff / c}%.3f").getOrElse("n/a")} |
            || target | ≥ 0.8 |
            |
+           |Measurement variance: this shared VM shows ±20%% run-to-run wall
+           |variance (neighbor load + frequency scaling). Across repeated
+           |harness runs the raw efficiency landed in 0.64–0.77 and the
+           |ceiling-normalized efficiency in 1.06–1.24 (the VM's own
+           |perfectly-parallel hash ceiling varied 0.54–0.64).
+           |
            |Single-node caveats (do not apply to a real N→4N executor
            |cluster): all threads share one memory bus and LLC, so
            |bandwidth-bound phases (parquet array decode) cap thread scaling;
