@@ -335,7 +335,8 @@ object SparkEntry {
 
     "s02_ann_lsh" -> ((s, dir) =>
       Similarity.topKLsh(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5, bits = 6)
-        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("sim6"), col("rank"))
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("sim6"),
+          col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")),
 
     "s03_embedding_neardup" -> ((s, dir) => {
@@ -664,6 +665,32 @@ object SparkEntry {
         | FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, neighbor_id, sim6, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s02_ann_lsh" -> {
+      // md5-derived hyperplanes are engine-portable: plane(j,d) =
+      // hex32(md5("plane<j>:<d>"))/2^31 − 1, an exact dyadic rational, so
+      // projections and sign buckets are bit-identical across engines
+      val projs = (0 until 6).map { j =>
+        s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
+           |   i -> embedding[i]::DOUBLE * (('0x' || substr(md5('plane$j:' || (i-1)::VARCHAR), 1, 8))::BIGINT::DOUBLE / 2147483648.0 - 1.0)), 'sum') AS p_$j""".stripMargin
+      }.mkString(",\n ")
+      val bucket = (0 until 6).map(j => s"(CASE WHEN p_$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding,
+         | sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')) AS nrm,
+         | $projs
+         |FROM embeddings),
+         |b AS (SELECT vec_id, embedding, nrm, $bucket AS bucket FROM e),
+         |pairs AS (
+         | SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+         |     i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), 'sum')
+         |   / nullif(a.nrm * c.nrm, 0) AS c_raw
+         | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, round(c_raw, 6) AS sim6,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY c_raw DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT query_id, neighbor_id, sim6, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "s03_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
