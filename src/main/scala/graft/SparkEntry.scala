@@ -88,8 +88,10 @@ object SparkEntry {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
+      // customer grows with sf (1.5 M rows at sf10) — no explicit broadcast;
+      // AQE's size gate picks the strategy. Nation is a true 25-row dim.
       li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
@@ -298,7 +300,10 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "p06_ngram_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3, minJaccard = 0.3)
+      // maxDocFreq caps posting-list blowup (cost ∝ Σ list²) — the oracle
+      // applies the identical cap, so the checked path IS the scale path
+      Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text", k = 3,
+          minJaccard = 0.3, maxDocFreq = 50)
         .orderBy("id_a", "id_b")),
 
     "p07_minhash_sigs" -> ((s, dir) =>
@@ -308,8 +313,10 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     "p08_minhash_candidates" -> ((s, dir) =>
+      // Md5Portable so the DuckDB oracle reproduces signatures exactly;
+      // XxFast (native codegen'd hash) is the benched production family
       Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleK = 3, numHashes = 16, bands = 8)
+          shingleK = 3, numHashes = 16, bands = 8, family = Dedup.Md5Portable)
         .orderBy("id_a", "id_b")),
 
     "p09_simhash" -> ((s, dir) =>
@@ -334,17 +341,23 @@ object SparkEntry {
     }),
 
     "s02_ann_lsh" -> ((s, dir) =>
-      Similarity.topKLsh(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5, bits = 6)
+      // AND-OR amplified: 3 tables × 6 bits (64 buckets/table) — candidate
+      // volume governed by bucket occupancy, never N²
+      Similarity.topKLsh(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+          tables = 3, bitsPerTable = 6, dims = Some(64))
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("sim6"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")),
 
     "s03_embedding_neardup" -> ((s, dir) => {
-      // embedding-cosine near-dup: the threshold sits just under the max pairwise cosine of the synthetic vectors so the pair set is small but non-empty
-      // set over the restricted id range (the LSH bucket join is the
-      // corpus-scale pre-filter)
-      val emb = t(s, dir, "embeddings").where(col("vec_id") < 500)
-      Similarity.nearDupPairs(emb, "vec_id", "embedding", minCosine = 0.45)
+      // corpus-scale near-dup: LSH bucket pre-filter → exact cosine. True
+      // near-dups are injected (each vector unioned with an exact copy at
+      // id+100000) so the query demonstrates recall on genuine duplicates;
+      // the oracle replicates the union and the identical bucket filter.
+      val emb = t(s, dir, "embeddings")
+      val dup = emb.withColumn("vec_id", col("vec_id") + lit(100000L))
+      Similarity.nearDupPairsLsh(emb.unionByName(dup), "vec_id", "embedding",
+          minCosine = 0.45, tables = 4, bitsPerTable = 6, dims = Some(64))
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("sim6"))
         .orderBy("id_a", "id_b")
     }),
@@ -371,6 +384,31 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------- oracle
+
+  /** Shared DuckDB CTE block for the amplified-LSH oracles: given an
+    * upstream `e0(vec_id, embedding)` CTE, emits `e` (projections on planes
+    * 0..tables*bits−1), `b` (per-table sign buckets + norm) and `st` (the
+    * stacked `(vec_id, tbl, bucket)` index) — the SQL twin of
+    * [[graft.pipeline.Similarity.lshBucketIndex]]. */
+  private def lshOracleCtes(tables: Int, bits: Int): String = {
+    val projs = (0 until tables * bits).map { p =>
+      s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
+         |   i -> embedding[i]::DOUBLE * (('0x' || substr(md5('plane$p:' || (i-1)::VARCHAR), 1, 8))::BIGINT::DOUBLE / 2147483648.0 - 1.0)), 'sum') AS p_$p""".stripMargin
+    }.mkString(",\n ")
+    val bucketCols = (0 until tables).map { t =>
+      (0 until bits).map(j => s"(CASE WHEN p_${t * bits + j} >= 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ") + s" AS bucket_$t"
+    }.mkString(",\n ")
+    val stack = (0 until tables)
+      .map(t => s"SELECT vec_id, $t AS tbl, bucket_$t AS bucket FROM b")
+      .mkString("\n UNION ALL ")
+    s"""e AS (SELECT vec_id, embedding,
+       | sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')) AS nrm,
+       | $projs
+       |FROM e0),
+       |b AS (SELECT vec_id, embedding, nrm, $bucketCols FROM e),
+       |st AS ($stack)""".stripMargin
+  }
 
   /** DuckDB regex note: RE2 syntax; '\\s' etc. are literal backslashes in
     * single-quoted SQL strings (DuckDB does not process escapes). */
@@ -619,10 +657,13 @@ object SparkEntry {
     },
 
     "p06_ngram_jaccard" ->
+      // identical frequent-shingle cap (df > 50 dropped from the sets)
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |  range(1, greatest(len(ws) - 2, 0) + 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM w),
+        |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50),
+        |sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM keep)),
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -641,6 +682,27 @@ object SparkEntry {
          |shl AS (SELECT doc_id, list_distinct(list_transform(
          |  range(1, greatest(len(ws) - 2, 0) + 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w)
          |SELECT doc_id, $sig FROM shl ORDER BY doc_id""".stripMargin
+    },
+
+    "p08_minhash_candidates" -> {
+      // 16 md5-seeded signatures, 8 bands × 2 rows; band key = md5 of the
+      // comma-joined decimal signature pair (identical to Spark's
+      // md5(concat_ws(",", sig::string…)) — sigs are in [0, 2^32) so the
+      // decimal rendering is sign-free and engine-identical)
+      val sig = (0 until 16).map(j =>
+        s"list_min(list_transform(sh, s -> ('0x' || substr(md5('$j:' || s), 1, 8))::BIGINT)) AS sig_$j")
+        .mkString(",\n ")
+      val bandList = (0 until 8).map(b =>
+        s"md5(sig_${2 * b}::VARCHAR || ',' || sig_${2 * b + 1}::VARCHAR)").mkString(", ")
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+         |shl AS (SELECT doc_id, list_distinct(list_transform(
+         |  range(1, greatest(len(ws) - 2, 0) + 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+         |sigs AS (SELECT doc_id, $sig FROM shl),
+         |bands AS (SELECT doc_id, unnest([$bandList]) AS bucket FROM sigs)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     "p09_simhash" -> {
@@ -667,25 +729,21 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, sim6, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "s02_ann_lsh" -> {
-      // md5-derived hyperplanes are engine-portable: plane(j,d) =
-      // hex32(md5("plane<j>:<d>"))/2^31 − 1, an exact dyadic rational, so
-      // projections and sign buckets are bit-identical across engines
-      val projs = (0 until 6).map { j =>
-        s"""list_aggregate(list_transform(range(1, len(embedding) + 1),
-           |   i -> embedding[i]::DOUBLE * (('0x' || substr(md5('plane$j:' || (i-1)::VARCHAR), 1, 8))::BIGINT::DOUBLE / 2147483648.0 - 1.0)), 'sum') AS p_$j""".stripMargin
-      }.mkString(",\n ")
-      val bucket = (0 until 6).map(j => s"(CASE WHEN p_$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, embedding,
-         | sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')) AS nrm,
-         | $projs
-         |FROM embeddings),
-         |b AS (SELECT vec_id, embedding, nrm, $bucket AS bucket FROM e),
+      // AND-OR amplified LSH replicated in SQL: 3 tables × 6 bits, plane
+      // index = tbl*6 + j. md5-derived hyperplanes are engine-portable:
+      // plane(p,d) = hex32(md5("plane<p>:<d>"))/2^31 − 1, an exact dyadic
+      // rational, so projections and sign buckets are bit-identical.
+      s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+         |${lshOracleCtes(tables = 3, bits = 6)},
+         |cand AS (
+         | SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+         | FROM st a JOIN st c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id <> c.vec_id),
          |pairs AS (
-         | SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |  list_aggregate(list_transform(range(1, len(a.embedding) + 1),
-         |     i -> a.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE), 'sum')
-         |   / nullif(a.nrm * c.nrm, 0) AS c_raw
-         | FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+         | SELECT query_id, neighbor_id,
+         |  list_aggregate(list_transform(range(1, len(qa.embedding) + 1),
+         |     i -> qa.embedding[i]::DOUBLE * qb.embedding[i]::DOUBLE), 'sum')
+         |   / nullif(qa.nrm * qb.nrm, 0) AS c_raw
+         | FROM cand JOIN b qa ON cand.query_id = qa.vec_id JOIN b qb ON cand.neighbor_id = qb.vec_id),
          |ranked AS (SELECT query_id, neighbor_id, round(c_raw, 6) AS sim6,
          |  row_number() OVER (PARTITION BY query_id ORDER BY c_raw DESC, neighbor_id) AS rank FROM pairs)
          |SELECT query_id, neighbor_id, sim6, rank FROM ranked WHERE rank <= 5
@@ -693,16 +751,22 @@ object SparkEntry {
     },
 
     "s03_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
-        |pairs AS (
-        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_aggregate(list_transform(range(1, len(a.embedding) + 1),
-        |     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
-        |  / nullif(sqrt(list_aggregate(list_transform(range(1, len(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
-        |         * sqrt(list_aggregate(list_transform(range(1, len(b.embedding) + 1), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')), 0) AS cosine
-        | FROM e a JOIN e b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, round(cosine, 6) AS sim6 FROM pairs
-        |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+      // LSH pre-filter (4 tables × 6 bits) → exact cosine ≥ 0.45, over the
+      // corpus plus injected exact duplicates (id + 100000)
+      s"""WITH e0 AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |${lshOracleCtes(tables = 4, bits = 6)},
+         |cand AS (
+         | SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         | FROM st a JOIN st c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         |pairs AS (
+         | SELECT id_a, id_b,
+         |  list_aggregate(list_transform(range(1, len(qa.embedding) + 1),
+         |     i -> qa.embedding[i]::DOUBLE * qb.embedding[i]::DOUBLE), 'sum')
+         |   / nullif(qa.nrm * qb.nrm, 0) AS cosine
+         | FROM cand JOIN b qa ON cand.id_a = qa.vec_id JOIN b qb ON cand.id_b = qb.vec_id)
+         |SELECT id_a, id_b, round(cosine, 6) AS sim6 FROM pairs
+         |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

@@ -30,13 +30,21 @@ final case class JoiBuilder(
   def valid(values: JValue*): JoiBuilder = add(Enum(values))
   def const(v: JValue): JoiBuilder = add(Const(v))
 
-  // number/integer (Joi.pm:75-96)
+  // number/integer (Joi.pm:75-96); min/max are polymorphic on the builder
+  // type exactly like the reference's compile: string→length, array→items,
+  // object→properties count, number→value (Joi.pm:108-109,133-134,145-146,160-161)
   def min(n: Double): JoiBuilder =
-    if (typ.contains("string") || typ.contains("array")) lengthMin(n.toInt) else add(Minimum(n))
+    if (typ.contains("string") || typ.contains("array")) lengthMin(n.toInt)
+    else if (typ.contains("object")) add(MinProperties(n.toInt))
+    else add(Minimum(n))
   def max(n: Double): JoiBuilder =
-    if (typ.contains("string") || typ.contains("array")) lengthMax(n.toInt) else add(Maximum(n))
-  def positive: JoiBuilder = add(Minimum(0, exclusive = true))
-  def negative: JoiBuilder = add(Maximum(0, exclusive = true))
+    if (typ.contains("string") || typ.contains("array")) lengthMax(n.toInt)
+    else if (typ.contains("object")) add(MaxProperties(n.toInt))
+    else add(Maximum(n))
+  // inclusive like the reference: positive = min(0), negative = max(0)
+  // (Joi.pm:75,79) — 0 is accepted by both
+  def positive: JoiBuilder = add(Minimum(0))
+  def negative: JoiBuilder = add(Maximum(0))
   def multiple(n: Double): JoiBuilder = add(MultipleOf(n))
 
   // string sugar (Joi.pm:26,43,73,94)

@@ -52,17 +52,47 @@ object Dedup {
     array_distinct(filter(joined, x => x.isNotNull))
   }
 
+  /** Shingles whose document frequency exceeds `maxDocFreq` — the
+    * "boilerplate" set. Tiny in practice (a handful of headers/footers), so
+    * it broadcasts; exposed for observability (log/report its count before
+    * a big run). */
+  def frequentShingles(df: DataFrame, idCol: String, textCol: String, k: Int,
+      maxDocFreq: Int): DataFrame =
+    shingles(df, idCol, textCol, k)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDocFreq)
+
   /** Document pairs with n-gram Jaccard ≥ `minJaccard`, via inverted-index
     * self-join on the shingle (no cartesian). Output
-    * `(id_a, id_b, n_common, n_a, n_b, jaccard)` with id_a < id_b. */
+    * `(id_a, id_b, n_common, n_a, n_b, jaccard)` with id_a < id_b.
+    *
+    * `maxDocFreq` caps posting-list length: the join cost is
+    * Σ posting-list², so ONE boilerplate shingle shared by 1 M docs would
+    * alone contribute 10¹² join rows. Shingles above the cap carry ~no
+    * Jaccard signal (they match everything) and are removed from the
+    * shingle SETS (numerator and denominator — self-consistent semantics);
+    * the dropped set is tiny and rides a broadcast anti-join. Default = no
+    * cap (exact textbook Jaccard). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // set sizes ride along with the exploded shingles, so the pair counts
     // and the jaccard denominator come out of ONE inverted-index join + ONE
     // aggregation — no cache, no size-lookup joins (scale: the only shuffle
     // partitions by shingle, then by pair)
-    val sh = df.select(col(idCol).as("id"), shingleArray(col(textCol), k).as("sh"))
-      .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+    val sh =
+      if (maxDocFreq == Int.MaxValue)
+        df.select(col(idCol).as("id"), shingleArray(col(textCol), k).as("sh"))
+          .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
+      else {
+        val kept = shingles(df, idCol, textCol, k)
+          .join(broadcast(frequentShingles(df, idCol, textCol, k, maxDocFreq)
+            .select("shingle")), Seq("shingle"), "left_anti")
+        // set size must be recomputed over the SURVIVING shingles; the
+        // window shuffles by id once (AQE-coalesced), then the self-join
+        // re-shuffles by shingle as before
+        kept.withColumn("n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      }
     sh.as("a").join(sh.as("b"), Seq("shingle"))
       .where(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -1,21 +1,30 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two paths, per the standard ANN playbook:
+  * Three paths, per the standard ANN playbook:
   *  - brute-force cosine top-k — exact; the *query* side is broadcast, so
   *    the big corpus is scanned once with no shuffle (correct baseline and
   *    perfectly scalable when |queries| is small);
-  *  - LSH-bucketed (random signed projections) — each vector gets a b-bit
-  *    hyperplane signature; candidates share a bucket; exact re-rank inside
-  *    buckets. The hyperplanes are md5-derived (deterministic, no RNG
-  *    state), so signatures are partition- and engine-portable.
+  *  - AND-OR amplified LSH (random signed projections) — `tables`
+  *    independent hash tables of `bitsPerTable` hyperplane bits each.
+  *    AND within a table (all r bits must agree → buckets stay small:
+  *    E[bucket] = N/2^r), OR across tables (a pair is a candidate if it
+  *    collides in ANY table → recall 1-(1-p^r)^b for per-bit agreement
+  *    probability p = 1-θ/π). This is the corpus-scale shape: candidate
+  *    volume is Σ_tables Σ_buckets |bucket|² — governed by 2^r, never N²;
+  *  - exact near-dup pairs (crossJoin) — kept only as the small-N baseline
+  *    and the recall yardstick for tests; [[nearDupPairsLsh]] is the
+  *    corpus-scale form.
   *
-  * Dot products use `zip_with` + `aggregate` (sequential fold — same
-  * summation order every run, so results are exactly reproducible).
+  * The hyperplanes are md5-derived (deterministic, no RNG state), so
+  * signatures are partition- and engine-portable. Dot products use
+  * `zip_with` + `aggregate` (sequential fold — same summation order every
+  * run, so results are exactly reproducible).
   */
 object Similarity {
 
@@ -39,7 +48,6 @@ object Similarity {
     * codegen'd): measured ~5× slower. */
   def topKBruteForce(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
@@ -52,10 +60,9 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a,b) with cosine ≥
-    * `minCosine`, a.id < b.id. Brute-force form for modest corpora; at scale
-    * the LSH-bucketed variant ([[topKLsh]]'s bucket join) pre-filters
-    * candidates before the exact cosine. */
+  /** Embedding-cosine near-duplicate pairs, brute force: all (a,b) with
+    * cosine ≥ `minCosine`, a.id < b.id. O(N²) — small-N baseline / recall
+    * yardstick ONLY; use [[nearDupPairsLsh]] at corpus scale. */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, minCosine: Double): DataFrame = {
     // norms once per vector (see topKBruteForce note)
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"), norm(col(vecCol)).as("__na"))
@@ -68,38 +75,141 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim d):
-    * md5-derived value mapped to [-1, 1). */
+    * md5-derived value mapped to [-1, 1). Exact dyadic rational, so the
+    * DuckDB oracle reproduces projections bit-identically. */
   private def planeComponent(j: Int, d: Column): Column =
     (conv(substring(md5(concat(lit(s"plane$j:"), d.cast("string")).cast("binary")), 1, 8), 16, 10)
       .cast("double") / lit(2147483648.0)) - lit(1.0)
 
-  /** b-bit signed-projection LSH signature of a vector. */
-  def lshSignature(vec: Column, bits: Int): Column = {
+  /** Driver-side twin of [[planeComponent]] — same md5-derived value
+    * computed once on the driver instead of per row per element (the
+    * expression form re-hashes `planes × dims` times for EVERY vector;
+    * measured ~2× of the whole ANN query). Bit-identical: same md5 bytes →
+    * same dyadic rational → same IEEE fold. */
+  private def planeValue(j: Int, d: Int): Double = {
+    val bytes = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"plane$j:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hi32 = ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
+      ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)
+    hi32.toDouble / 2147483648.0 - 1.0
+  }
+
+  /** r-bit signed-projection signature using planes
+    * `planeOffset .. planeOffset+bits-1` (table t of an amplified scheme
+    * passes `planeOffset = t*bits`; the legacy single-table form is
+    * `planeOffset = 0`).
+    *
+    * `dims`: when the embedding dimensionality is known (it always is for a
+    * real corpus), the plane matrix is precomputed on the driver and
+    * shipped as array literals — no per-row hashing. `None` falls back to
+    * the dimension-agnostic md5 expression. Values are identical either
+    * way. */
+  def lshSignature(vec: Column, bits: Int, planeOffset: Int = 0,
+      dims: Option[Int] = None): Column = {
     val sigBits = (0 until bits).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeComponent(j, d)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dims match {
+        case Some(n) =>
+          val plane = (0 until n).map(d => planeValue(planeOffset + j, d))
+          aggregate(
+            zip_with(vec, typedLit(plane), (x, p) => x.cast("double") * p),
+            lit(0.0), (acc, v) => acc + v)
+        case None =>
+          aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1),
+              (x, d) => x.cast("double") * planeComponent(planeOffset + j, d)),
+            lit(0.0), (acc, v) => acc + v)
+      }
       when(proj >= 0, lit(1L) * (1L << j)).otherwise(lit(0L))
     }
     sigBits.reduce(_ + _)
   }
 
-  /** ANN via LSH buckets + exact re-rank: vectors sharing a signature bucket
-    * are candidates; cosine re-ranks within the bucket. Recall is tunable by
-    * `bits` (fewer bits → bigger buckets → higher recall, more compute).
-    * The bucket join shuffles only (id, signature, vec) — at corpus scale
-    * this is the path that avoids the O(N·Q) scan. */
-  def topKLsh(df: DataFrame, idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val signed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      norm(col(vecCol)).as("nrm"),
-      lshSignature(col(vecCol), bits).as("bucket"))
-    val pairs = signed.as("a").join(signed.as("b"), Seq("bucket"))
-      .where(col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
-        (dot(col("a.vec"), col("b.vec")) / nullif(col("a.nrm") * col("b.nrm"), lit(0.0))).as("cosine"))
+  /** `(id, tbl, bucket)` — one row per (vector, table): the stacked
+    * multi-table LSH index. Only the id rides the explode (vectors are
+    * re-joined after candidate generation), so the shuffle carries
+    * `N·tables` (long, int, long) triples regardless of dimension. */
+  def lshBucketIndex(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bitsPerTable: Int, dims: Option[Int] = None): DataFrame = {
+    val buckets = (0 until tables).map(t =>
+      lshSignature(col(vecCol), bitsPerTable, planeOffset = t * bitsPerTable, dims = dims))
+    df.select(col(idCol).as("id"),
+        posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+  }
+
+  /** Per-(table,bucket) occupancy `(tbl, bucket, n)` — the observability
+    * hook for capacity planning: candidate volume is Σ n·(n−1)/2 over these
+    * rows, so a skew check here predicts the join cost before running it. */
+  def lshBucketStats(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bitsPerTable: Int, dims: Option[Int] = None): DataFrame =
+    lshBucketIndex(df, idCol, vecCol, tables, bitsPerTable, dims)
+      .groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
+
+  /** Undirected candidate pairs `(id_a, id_b)` (id_a < id_b, distinct):
+    * vectors sharing a bucket in ANY of the `tables` hash tables.
+    *
+    * `maxBucketSize`: buckets above the cap are dropped from the index
+    * before the self-join (a degenerate bucket — zero vectors, boilerplate
+    * embeddings — would alone contribute |bucket|² pairs and pin one
+    * reducer; capping bounds the worst key at cap² regardless of data).
+    * Dropped buckets are observable via [[lshBucketStats]] filtered to
+    * `n > cap`. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int, bitsPerTable: Int, maxBucketSize: Option[Int] = None,
+      dims: Option[Int] = None): DataFrame = {
+    val keyed = lshBucketIndex(df, idCol, vecCol, tables, bitsPerTable, dims)
+    val bounded = maxBucketSize match {
+      case Some(cap) =>
+        val w = Window.partitionBy("tbl", "bucket")
+        keyed.withColumn("__bsz", count(lit(1)).over(w))
+          .where(col("__bsz") <= cap).drop("__bsz")
+      case None => keyed
+    }
+    bounded.as("a").join(bounded.as("b"), Seq("tbl", "bucket"))
+      .where(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** ANN via AND-OR amplified LSH + exact re-rank. Candidates come from
+    * [[lshCandidatePairs]] (bucket-bounded, never N²); vectors are joined
+    * back by id for the exact cosine; `row_number` windows per query give
+    * rank 1..k (ties by neighbor id). Recall is tuned by (tables ↑ = OR
+    * amplification = recall ↑) and (bitsPerTable ↑ = AND amplification =
+    * precision ↑, buckets ↓). */
+  def topKLsh(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      tables: Int = 4, bitsPerTable: Int = 8,
+      maxBucketSize: Option[Int] = None, dims: Option[Int] = None): DataFrame = {
+    val und = lshCandidatePairs(df, idCol, vecCol, tables, bitsPerTable, maxBucketSize, dims)
+    val directed = und.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+      .unionAll(und.select(col("id_b").as("query_id"), col("id_a").as("neighbor_id")))
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+    val scored = directed
+      .join(v, directed("query_id") === v("__id"))
+      .select(col("query_id"), col("neighbor_id"), col("__v").as("__qv"), col("__n").as("__qn"))
+      .join(v, col("neighbor_id") === v("__id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__v")) / nullif(col("__qn") * col("__n"), lit(0.0))).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Corpus-scale near-duplicate pairs: LSH bucket pre-filter → exact
+    * cosine ≥ `minCosine`. Same output shape as [[nearDupPairs]]
+    * (`id_a, id_b, cosine`, id_a < id_b) restricted to candidates that
+    * collide in at least one table — the standard recall/throughput trade
+    * (recall = 1-(1-p^r)^b; true near-dups have p → 1, so they collide in
+    * essentially every table). */
+  def nearDupPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, tables: Int = 8, bitsPerTable: Int = 8,
+      maxBucketSize: Option[Int] = None, dims: Option[Int] = None): DataFrame = {
+    val cand = lshCandidatePairs(df, idCol, vecCol, tables, bitsPerTable, maxBucketSize, dims)
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+    cand
+      .join(v, cand("id_a") === v("__id"))
+      .select(col("id_a"), col("id_b"), col("__v").as("__va"), col("__n").as("__na"))
+      .join(v, col("id_b") === v("__id"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__va"), col("__v")) / nullif(col("__na") * col("__n"), lit(0.0))).as("cosine"))
+      .where(col("cosine") >= minCosine)
   }
 }

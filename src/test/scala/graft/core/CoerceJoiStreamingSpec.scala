@@ -43,6 +43,19 @@ class CoerceJoiStreamingSpec extends SparkSuite {
     assert(errs === Seq("/age" -> "300 > maximum(200)", "/name" -> "Missing property."))
   }
 
+  test("joi object min/max lower to min/maxProperties; positive/negative are inclusive (Joi.pm:75-79,145-146)") {
+    // object min/max count properties, not values
+    assert(joi.obj.min(2).rule === Rule.all(Seq(Rule.TypeIs(Seq("object")), Rule.MinProperties(2))))
+    assert(joi.obj.max(3).rule === Rule.all(Seq(Rule.TypeIs(Seq("object")), Rule.MaxProperties(3))))
+    // reference: positive = min(0), negative = max(0) — both accept 0
+    val pos = joi.number.positive.rule
+    assert(Violations.validateColumn(Seq(0.0).toDF("value"), pos, "value", Seq()).count() === 0)
+    assert(Violations.validateColumn(Seq(-1.0).toDF("value"), pos, "value", Seq()).count() === 1)
+    val neg = joi.number.negative.rule
+    assert(Violations.validateColumn(Seq(0.0).toDF("value"), neg, "value", Seq()).count() === 0)
+    assert(Violations.validateColumn(Seq(1.0).toDF("value"), neg, "value", Seq()).count() === 1)
+  }
+
   test("joi string sugar: token/email/length") {
     val rule = joi.string.token.rule
     assert(Violations.validateColumn(Seq("ok_123").toDF("value"), rule, "value", Seq()).count() === 0)

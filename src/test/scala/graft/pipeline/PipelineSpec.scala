@@ -51,6 +51,76 @@ class PipelineSpec extends SparkSuite {
     assert(math.abs(row.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("jaccard maxDocFreq drops boilerplate shingles from the sets") {
+    // every doc gets the same boilerplate prefix; with the cap the shared
+    // shingles vanish (df = 40 > 20), so cross-doc pairs lose their only
+    // common shingles while exact-dup pairs stay at jaccard 1.0
+    val base = docs.where(col("doc_id") < 20)
+      .select(col("doc_id"), concat(lit("common header boilerplate line "), col("text")).as("text"))
+    val dups = base.select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val all = base.unionByName(dups)
+    val uncapped = Dedup.jaccardPairs(all, "doc_id", "text", k = 3, minJaccard = 0.01)
+    val capped = Dedup.jaccardPairs(all, "doc_id", "text", k = 3, minJaccard = 0.01, maxDocFreq = 20)
+    // boilerplate-only pairs exist without the cap, disappear with it
+    assert(uncapped.count() > capped.count())
+    // true duplicate pairs keep jaccard 1.0 under the cap
+    val dupPairs = capped.where(col("id_b") === col("id_a") + 1000)
+    assert(dupPairs.count() === 20)
+    assert(dupPairs.agg(min("jaccard")).head().getDouble(0) === 1.0)
+    // and the dropped set is exactly the shared shingles
+    assert(Dedup.frequentShingles(all, "doc_id", "text", 3, 20).count() > 0)
+  }
+
+  private lazy val emb001 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("amplified LSH: exact duplicates collide in every table; candidates stay bucket-bounded") {
+    val base = emb001.select(col("vec_id"), col("embedding"))
+    val dup = base.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(dup)
+    val cand = Similarity.lshCandidatePairs(corpus, "vec_id", "embedding", tables = 3, bitsPerTable = 6)
+    // identical vectors have identical signatures in all tables → always candidates
+    val dupCand = cand.where(col("id_b") === col("id_a") + 100000).count()
+    assert(dupCand === base.count())
+    // candidate volume equals Σ_buckets n·(n−1)/2 at most (pre-distinct), and
+    // is far below the N²/2 cartesian
+    val n = corpus.count()
+    assert(cand.count() < n * (n - 1) / 4)
+  }
+
+  test("amplified LSH: maxBucketSize drops oversized buckets from the index") {
+    // 50 identical vectors form one 50-deep bucket in every table; a cap of
+    // 10 removes them entirely → no candidate pairs among them
+    val one = emb001.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    val clones = spark.range(50).select(col("id").as("vec_id"),
+      typedLit(one).as("embedding"))
+    val capped = Similarity.lshCandidatePairs(clones, "vec_id", "embedding",
+      tables = 2, bitsPerTable = 4, maxBucketSize = Some(10))
+    assert(capped.count() === 0)
+    val uncapped = Similarity.lshCandidatePairs(clones, "vec_id", "embedding",
+      tables = 2, bitsPerTable = 4)
+    assert(uncapped.count() === 50L * 49 / 2)
+  }
+
+  test("nearDupPairsLsh recalls injected exact duplicates with their cosine") {
+    val base = emb001.select(col("vec_id"), col("embedding"))
+    val dup = base.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val found = Similarity.nearDupPairsLsh(base.unionByName(dup), "vec_id", "embedding",
+        minCosine = 0.99, tables = 4, bitsPerTable = 6)
+      .where(col("id_b") === col("id_a") + 100000)
+    assert(found.count() === base.count())
+    assert(found.agg(min("cosine")).head().getDouble(0) > 0.999999)
+  }
+
+  test("topKLsh ranks candidates by exact cosine within each query") {
+    val top = Similarity.topKLsh(emb001, "vec_id", "embedding", k = 3,
+      tables = 3, bitsPerTable = 4)
+    val bad = top.as("x").join(top.as("y"),
+        col("x.query_id") === col("y.query_id") && col("x.rank") === col("y.rank") - 1)
+      .where(col("x.cosine") < col("y.cosine")).count()
+    assert(bad === 0)
+    assert(top.where(col("rank") > 3).count() === 0)
+  }
+
   test("multimodal: frame sampling keeps every stride-th frame") {
     import spark.implicits._
     val media = Multimodal.fromText(docs.limit(5), "doc_id", "text")
