@@ -42,8 +42,22 @@ final case class JObj(fields: Vector[(String, JValue)]) extends JValue {
 
 object JValue {
   private val mapper = new ObjectMapper()
+  private lazy val yamlMapper =
+    new ObjectMapper(new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
 
   def parse(text: String): JValue = fromNode(mapper.readTree(text))
+
+  /** YAML document → JValue (jackson-dataformat-yaml, already on the Spark
+    * classpath) — the engine's side of the reference's `_yaml_load`
+    * (Util.pm:152-166). */
+  def parseYaml(text: String): JValue = fromNode(yamlMapper.readTree(text))
+
+  /** Content sniffing exactly like the reference's `str2data`
+    * (Util.pm:163-167): a document whose first non-space byte is `{` is
+    * JSON, anything else parses as YAML (JSON is a YAML subset, so pure
+    * arrays etc. still load). */
+  def parseAny(text: String): JValue =
+    if (text.matches("(?s)^\\s*\\{.*")) parse(text) else parseYaml(text)
 
   def fromNode(n: JsonNode): JValue =
     if (n == null || n.isNull) JNull

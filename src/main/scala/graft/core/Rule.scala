@@ -100,6 +100,25 @@ object Rule {
   case object Both extends Direction
   final case class Modal(rule: Rule, appliesTo: Direction) extends Rule
 
+  /** Value present while validating in `direction` → violation. The
+    * reference pushes "Read-only." when a readOnly property appears in a
+    * request and "Write-only." when a writeOnly property appears in a
+    * response (OpenAPIv3.pm:363, 384); [[readOnly]]/[[writeOnly]] compose
+    * this with [[Modal]] to give the full reference semantics. Inert when
+    * validating with direction Both (plain schema validation has no
+    * request/response split). */
+  final case class PresenceForbidden(direction: Direction, message: String) extends Rule
+
+  /** readOnly property: constraints apply to responses only; presence in a
+    * request is itself a violation (OpenAPIv3.pm:356-371). */
+  def readOnly(rule: Rule): Rule =
+    all(Seq(Modal(rule, Response), PresenceForbidden(Request, "Read-only.")))
+
+  /** writeOnly property: constraints apply to requests only; presence in a
+    * response is itself a violation (OpenAPIv3.pm:377-392). */
+  def writeOnly(rule: Rule): Rule =
+    all(Seq(Modal(rule, Request), PresenceForbidden(Response, "Write-only.")))
+
   /** OpenAPI-style discriminator (reference OpenAPIv2.pm:410-416,
     * OpenAPIv3.pm:340-349): the value of `field` selects which rule pack
     * applies to the row — per-`source` rule dispatch at scale. Unmatched

@@ -197,7 +197,15 @@ object RuleCompiler {
           // null-struct path below — per-element `concat` of error arrays
           // allocates even for passing elements and is GC-bound at scale
           // (measured: 2.6× not 4× scaling on a 4× core step).
-          case All(parts) =>
+          // Distribution is ONLY semantics-preserving when the conjunction
+          // has no dispatcher gating: a TypeIs must suppress sibling errors
+          // per element (Schema.pm:410 — items:{type:integer,maximum:5} on
+          // element 6.5 reports only the type error) and const/enum fire
+          // only after the other keywords pass (Schema.pm:401-419); those
+          // mixes fall through to the per-element conjunction below.
+          case All(parts) if !parts.exists(_.isInstanceOf[TypeIs]) &&
+              !(parts.exists(p => p.isInstanceOf[Const] || p.isInstanceOf[Enum]) &&
+                parts.exists(p => !p.isInstanceOf[Const] && !p.isInstanceOf[Enum])) =>
             parts.map(p => compile(Items(p), dt, target, path, ctx))
               .reduceOption(concat(_, _)).getOrElse(noErrors)
           case leaf if emitsSingleError(leaf) =>
@@ -409,6 +417,14 @@ object RuleCompiler {
         // constrain responses (OpenAPIv3.pm:356-396)
         if (appliesTo == Rule.Both || ctx.direction == Rule.Both || appliesTo == ctx.direction)
           compile(sub, dt, target, path, ctx)
+        else noErrors
+
+      case PresenceForbidden(dir, msg) =>
+        // "Read-only."/"Write-only." on presence in the disallowed direction
+        // (OpenAPIv3.pm:363, 384); Both = plain schema validation → inert
+        if (ctx.direction == dir)
+          when(target.isNull, noErrors).otherwise(
+            one(mkErr(path, "modality", lit("modality"), lit(msg), observedOf(target, dt))))
         else noErrors
 
       case Predicate(ruleId, message, pred) =>

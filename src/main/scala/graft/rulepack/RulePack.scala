@@ -43,6 +43,18 @@ object RulePack {
   def parse(json: String, store: Store = Store()): Rule =
     fromJson(JValue.parse(json), store)
 
+  /** YAML rule pack — OpenAPI specs in the wild are overwhelmingly YAML
+    * (reference loads them everywhere: Store.pm:146-158 `_load_from_file`,
+    * tests t/load-yaml.t). Parses to the identical [[Rule]] as the JSON
+    * twin. */
+  def parseYaml(yaml: String, store: Store = Store()): Rule =
+    fromJson(JValue.parseYaml(yaml), store)
+
+  /** Format-sniffing load (`str2data`, Util.pm:163-167): first non-space
+    * byte `{` → JSON, else YAML. */
+  def parseAny(text: String, store: Store = Store()): Rule =
+    fromJson(JValue.parseAny(text), store)
+
   /** Draft-dialect sniffing (reference Validator.pm:103-124): the `$schema`
     * / `swagger` / `openapi` keys select the dialect. The parser itself is
     * dialect-tolerant (it accepts draft-4 boolean-style and draft-6+
@@ -65,34 +77,133 @@ object RulePack {
     case _ => "draft7"
   }
 
+  /** Minimal RFC 3986 reference resolution: scheme-absolute refs stand
+    * alone, fragment-only refs replace the base's fragment, everything else
+    * resolves against the base's hierarchical path (java.net.URI). An empty
+    * base (anonymous document) leaves relative refs as-is — they become
+    * store keys. */
+  def joinUri(base: String, ref: String): String = {
+    val b = stripFragment(base)
+    if (ref.isEmpty) b
+    else if (ref.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*")) ref
+    else if (ref.startsWith("#")) b + ref
+    else if (b.isEmpty) ref
+    else
+      try new java.net.URI(b).resolve(new java.net.URI(ref)).toString
+      catch { case _: Exception => ref }
+  }
+
+  private def stripFragment(uri: String): String = {
+    val i = uri.indexOf('#')
+    if (i < 0) uri else uri.take(i)
+  }
+
+  /** Walk a document registering every subschema carrying `id`/`$id` (its
+    * URI resolved against the enclosing base, becoming the base for its
+    * descendants — Schema.pm:337-351 `_resolve_object`) and every
+    * `$anchor` / fragment-only id (Draft6.pm/Draft201909.pm anchor forms)
+    * under `base#name`. Data-carrying keywords (enum/const/default/
+    * examples) are not walked — their contents are instances, not
+    * schemas. */
+  private def registerIds(v: JValue, base: String,
+      reg: scala.collection.mutable.Map[String, JValue]): Unit = v match {
+    case o: JObj =>
+      val idOpt = (o.get("$id") orElse o.get("id")).collect { case JStr(s) => s }
+      val newBase = idOpt match {
+        case Some(s) if s.startsWith("#") => // anchor-form id (draft4/6/7)
+          reg(stripFragment(base) + s) = o; base
+        case Some(s) =>
+          val abs = stripFragment(joinUri(base, s))
+          reg(abs) = o
+          abs
+        case None => base
+      }
+      o.get("$anchor").foreach { case JStr(a) => reg(s"${stripFragment(newBase)}#$a") = o; case _ => }
+      for ((k, sub) <- o.fields if !dataKeys(k)) registerIds(sub, newBase, reg)
+    case JArr(items) => items.foreach(registerIds(_, base, reg))
+    case _ =>
+  }
+
+  private val dataKeys = Set("enum", "const", "default", "examples")
+
   def fromJson(root: JValue, store: Store = Store()): Rule = {
-    def resolveRef(uri: String, seen: Set[String]): JValue = {
-      if (seen.contains(uri))
-        throw new IllegalArgumentException(s"recursive \\$$ref not supported in columnar rules: $uri")
-      val target =
-        if (uri.startsWith("#")) pointer(root, uri.drop(1))
-        else store.resolve(uri)
-      target.getOrElse(throw new IllegalArgumentException(s"unresolvable \\$$ref: $uri"))
+    // root id validation + entry base (reference Schema.pm id contract:
+    // t/id-keyword-draft4.t "Fragment not allowed"/"Relative URL not
+    // allowed")
+    val rootId = root match {
+      case o: JObj => (o.get("$id") orElse o.get("id")).collect { case JStr(s) => s }
+      case _       => None
+    }
+    rootId.foreach { s =>
+      if (s.contains("#") && !s.endsWith("#"))
+        throw new IllegalArgumentException(s"Fragment not allowed in root id: $s")
+      if (!s.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*"))
+        throw new IllegalArgumentException(s"Relative URL not allowed as root id: $s")
+    }
+    val entryBase = rootId.map(s => stripFragment(s)).getOrElse("")
+
+    // two-pass: register $id/$anchor subtrees of the entry document and of
+    // every store document (each against its own base), THEN build
+    val reg = scala.collection.mutable.Map[String, JValue]()
+    if (entryBase.nonEmpty) reg(entryBase) = root
+    registerIds(root, entryBase, reg)
+    for ((uri, doc) <- store.docs) {
+      if (!reg.contains(stripFragment(uri))) reg(stripFragment(uri)) = doc
+      registerIds(doc, stripFragment(uri), reg)
     }
 
-    def build(v: JValue, seen: Set[String]): Rule = v match {
+    /** Document a base URI's fragment pointers resolve against: the
+      * registered subtree for that base, the entry root for the anonymous
+      * base. */
+    def docOf(base: String): JValue =
+      if (base.isEmpty) root else reg.getOrElse(stripFragment(base), root)
+
+    /** Resolve `uri` (as written in a `$ref`) against the OWNING schema's
+      * base — returns the target plus the base its own refs resolve
+      * against. */
+    def resolveRef(uri: String, base: String): (JValue, String) = {
+      val abs = joinUri(base, uri)
+      val hashIdx = abs.indexOf('#')
+      val (docUri, frag) =
+        if (hashIdx < 0) (abs, "") else (abs.take(hashIdx), abs.drop(hashIdx + 1))
+      val doc: Option[JValue] =
+        if (docUri.isEmpty || docUri == entryBase) Some(docOf(docUri))
+        else reg.get(docUri) orElse store.resolve(docUri)
+      val target =
+        if (frag.isEmpty || frag == "/") doc
+        else if (frag.startsWith("/")) doc.flatMap(pointer(_, frag))
+        else reg.get(s"$docUri#$frag") // $anchor / fragment-only-id lookup
+      target.map((_, docUri))
+        .getOrElse(throw new IllegalArgumentException(s"unresolvable \\$$ref: $uri (base '$base')"))
+    }
+
+    def build(v: JValue, seen: Set[String], base: String): Rule = v match {
       case JBool(true)  => Always
       case JBool(false) => Never
-      case o: JObj      => buildObj(o, seen)
+      case o: JObj      => buildObj(o, seen, base)
       case other => throw new IllegalArgumentException(s"schema must be object or boolean, got ${other.render}")
     }
 
-    def subRule(v: JValue, seen: Set[String]): Rule = build(v, seen)
+    def buildObj(o0: JObj, seen: Set[String], base0: String): Rule = {
+      // entering a subschema with its own (non-anchor) id rebases its refs
+      val base = (o0.get("$id") orElse o0.get("id")).collect { case JStr(s) => s } match {
+        case Some(s) if !s.startsWith("#") => stripFragment(joinUri(base0, s))
+        case _                             => base0
+      }
+      val o = o0
+      def subRule(v: JValue, seen: Set[String]): Rule = build(v, seen, base)
 
-    def buildObj(o: JObj, seen: Set[String]): Rule = {
       // $ref: siblings are merged like the reference's _state ref-following
       // (Schema.pm:353-364: `{%$schema, %$ref_target}` semantics)
       o.get("$ref") match {
         case Some(JStr(uri)) =>
-          val target = resolveRef(uri, seen)
+          val refKey = joinUri(base, uri)
+          if (seen.contains(refKey))
+            throw new IllegalArgumentException(s"recursive \\$$ref not supported in columnar rules: $uri")
+          val (target, targetBase) = resolveRef(uri, base)
           val rest = JObj(o.fields.filterNot(_._1 == "$ref"))
-          val refRule = build(target, seen + uri)
-          val restRule = if (rest.fields.exists(f => !metaKeys(f._1))) buildObj(rest, seen) else Always
+          val refRule = build(target, seen + refKey, targetBase)
+          val restRule = if (rest.fields.exists(f => !metaKeys(f._1))) buildObj(rest, seen, base) else Always
           return Rule.all(Seq(refRule, restRule).filter(_ != Always)) match {
             case All(Seq()) => Always
             case r          => r
@@ -161,8 +272,25 @@ object RulePack {
         case JObj(fields) => rules += PatternProperties(fields.map { case (k, s) => k -> subRule(s, seen) })
         case _ =>
       }
+      // required, modality-aware: the reference strips readOnly props from
+      // `required` when validating requests and writeOnly props for
+      // responses (OpenAPIv3.pm:367, 388) — here the demand is wrapped in a
+      // Modal so it only applies in the direction the property may appear
+      def flaggedProps(key: String): Set[String] = o.get("properties") match {
+        case Some(JObj(fields)) =>
+          fields.collect { case (k, po: JObj) if po.get(key).exists(truthy) => k }.toSet
+        case _ => Set.empty
+      }
       o.get("required").foreach {
-        case JArr(items) => rules += Required(items.collect { case JStr(s) => s })
+        case JArr(items) =>
+          val names = items.collect { case JStr(s) => s }
+          val ro = flaggedProps("readOnly"); val wo = flaggedProps("writeOnly")
+          val plain = names.filterNot(n => ro(n) || wo(n))
+          if (plain.nonEmpty) rules += Required(plain)
+          val roReq = names.filter(ro)
+          if (roReq.nonEmpty) rules += Modal(Required(roReq), Response)
+          val woReq = names.filter(wo)
+          if (woReq.nonEmpty) rules += Modal(Required(woReq), Request)
         case _ =>
       }
       o.get("additionalProperties").foreach {
@@ -218,15 +346,23 @@ object RulePack {
         rules += IfThenElse(subRule(condS, seen),
           o.get("then").map(subRule(_, seen)), o.get("else").map(subRule(_, seen)))
       }
+      // OpenAPI modality: readOnly/writeOnly wrap the whole property schema
+      // — constraints apply in one direction, presence in the other is
+      // itself a violation (OpenAPIv3.pm:356-392)
+      def modal(r: Rule): Rule =
+        if (o.get("readOnly").exists(truthy)) Rule.readOnly(r)
+        else if (o.get("writeOnly").exists(truthy)) Rule.writeOnly(r)
+        else r
+
       if (o.get("nullable").exists(truthy)) {
         val inner = rules.result()
-        return Nullable(Rule.all(inner))
+        return modal(Nullable(Rule.all(inner)))
       }
 
-      Rule.all(rules.result())
+      modal(Rule.all(rules.result()))
     }
 
-    build(root, Set.empty)
+    build(root, Set.empty, entryBase)
   }
 
   /** Rule-pack linting — the analog of the reference validating a schema

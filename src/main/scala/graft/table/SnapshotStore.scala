@@ -71,50 +71,82 @@ class SnapshotStore(root: String, spark: SparkSession) {
   }
 
   /** Atomic manifest write: tmp file + rename (rename is atomic on HDFS and
-    * local fs; on S3A the committer handles it). */
+    * local fs; on S3A the committer handles it). HDFS/S3A `rename`/`delete`
+    * return false instead of throwing — a silent false here would mean the
+    * data write succeeded but completion was never recorded (the resume
+    * contract would quietly degrade to re-running everything), so both are
+    * checked and escalated. */
   def writeManifest(m: SnapshotManifest): Unit = {
     val p = manifestPath(m.snapshotId)
     val tmp = new Path(p.toString + ".tmp")
     fs.mkdirs(p.getParent)
     val out = fs.create(tmp, true)
     try out.write(m.toJson.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    if (fs.exists(p) && !fs.delete(p, false))
+      throw new java.io.IOException(s"manifest commit failed: could not delete $p")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"manifest commit failed: rename $tmp -> $p returned false")
   }
 
-  /** Resumable partitioned write. Computes the remaining partitions
-    * (distinct partition values minus the manifest's completed set), writes
-    * ONLY those partitions via dynamic partition overwrite, and commits
-    * their row counts to the manifest. Returns per-partition rows written
-    * in this run (empty → nothing left, run was already complete).
+  /** Manifest key for rows with a NULL partition value — matches the
+    * directory name Spark's dynamic partitioning writes them to, so the
+    * resume filter and the committed layout agree. */
+  val NullPartitionKey = "__HIVE_DEFAULT_PARTITION__"
+
+  private def partKey(partCol: String) =
+    coalesce(col(partCol).cast("string"), lit(NullPartitionKey))
+
+  /** Resumable partitioned write, ONE scan of the remaining slice.
+    * Filters out the manifest's completed partitions, writes the rest via
+    * dynamic partition overwrite, then derives per-partition row counts
+    * from the COMMITTED files: the count-back job selects zero data columns
+    * (row counts come from parquet footers, no data pages are read), so at
+    * 100 TB the data is read exactly once — by the write. Returns
+    * per-partition rows committed in this run (empty → nothing left).
     *
-    * The distinct-partitions scan and the per-partition counts ride the
-    * same shuffle as the write's partitioning; at 100 TB the extra cost is
-    * one `groupBy(part).count()` over the remaining slice.
-    */
+    * NULL partition values are kept (they land in
+    * [[NullPartitionKey]]'s directory and resume under that key) — a bare
+    * `!isInCollection` filter would evaluate to NULL on them and silently
+    * drop the rows.
+    *
+    * Crash-window note: partitions fully written by a crashed run whose
+    * manifest commit never happened are rewritten (same bytes — dynamic
+    * overwrite is idempotent) and then counted and committed here, so the
+    * count-back also heals a torn previous run. */
   def writeResumable(df: DataFrame, partCol: String, snapshotId: String): Map[String, Long] = {
     val prior = readManifest(snapshotId).getOrElse(SnapshotManifest(snapshotId, None, Map.empty))
     val done = prior.completed.keySet
 
     val remainingDf =
       if (done.isEmpty) df
-      else df.where(!col(partCol).cast("string").isInCollection(done))
+      else df.where(!partKey(partCol).isInCollection(done))
 
-    // per-partition metrics (lineage): rows per remaining partition
-    val counts = remainingDf.groupBy(col(partCol).cast("string").as("__p"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-
-    if (counts.nonEmpty) {
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try remainingDf.write.mode("overwrite").partitionBy(partCol).parquet(dataPath)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      writeManifest(prior.copy(completed = prior.completed ++ counts))
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try remainingDf.write.mode("overwrite").partitionBy(partCol).parquet(dataPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+
+    // count back the newly committed partitions (metadata-only job)
+    val dataDir = new Path(dataPath)
+    val hasParts = fs.exists(dataDir) &&
+      fs.listStatus(dataDir).exists(s => s.isDirectory && s.getPath.getName.startsWith(s"$partCol="))
+    val counts =
+      if (!hasParts) Map.empty[String, Long]
+      else {
+        val committed = spark.read.parquet(dataPath)
+          .select(partKey(partCol).as("__p"))
+        val fresh =
+          if (done.isEmpty) committed
+          else committed.where(!col("__p").isInCollection(done))
+        fresh.groupBy("__p").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+
+    if (counts.nonEmpty)
+      writeManifest(prior.copy(completed = prior.completed ++ counts))
     counts
   }
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 /** Command-line surface of the engine: validate a parquet table against a
   * JSON rule pack and write/print the violation + verdict tables.
   *
-  * Usage: ValidateCli <table.parquet> <rulepack.json> <idCol[,idCol…]> [outDir]
+  * Usage: ValidateCli <table.parquet> <rulepack.json|yaml> <idCol[,idCol…]> [outDir]
   *
   * With no outDir the violations print to stdout (driver-side `show`,
   * capped); with outDir they are written as parquet — the scale path.
@@ -21,8 +21,9 @@ object ValidateCli {
 
     val spark = graft.GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-validate")
 
-    val packJson = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(packPath)), "UTF-8")
-    val rule = RulePack.parse(packJson)
+    // format-sniffed: JSON or YAML packs both load (Util.pm:163-167)
+    val packText = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(packPath)), "UTF-8")
+    val rule = RulePack.parseAny(packText)
     val df = spark.read.parquet(table)
 
     val violations = Violations.sorted(Violations.validate(df, rule, idCols), idCols)

@@ -25,6 +25,50 @@ class ModalitySpec extends SparkSuite {
     assert(Violations.validate(requestRow, rule, Seq()).count() === 1)
   }
 
+  test("readOnly property present in a request reports 'Read-only.' (OpenAPIv3.pm:363)") {
+    val rule = Properties(Seq("id" -> Rule.readOnly(TypeIs(Seq("integer")))))
+    val present = Seq((Some(7), "x")).toDF("id", "name")
+    val reqCtx = RuleCompiler.Ctx(direction = Request)
+    val errs = Violations.validate(present, rule, Seq(), reqCtx)
+      .select("path", "message").as[(String, String)].collect().toSeq
+    assert(errs === Seq("/id" -> "Read-only."))
+    // absent in the request: fine; present in a response: fine
+    val absent = Seq((Option.empty[Int], "x")).toDF("id", "name")
+    assert(Violations.validate(absent, rule, Seq(), reqCtx).count() === 0)
+    assert(Violations.validate(present, rule, Seq(),
+      RuleCompiler.Ctx(direction = Response)).count() === 0)
+    // plain (Both) validation has no request/response split → inert
+    assert(Violations.validate(present, rule, Seq()).count() === 0)
+  }
+
+  test("required strips readOnly props for requests, writeOnly for responses (OpenAPIv3.pm:367,388)") {
+    val pack = graft.rulepack.RulePack.parse(
+      """{"type":"object",
+        | "properties":{"id":{"type":"integer","readOnly":true},
+        |               "secret":{"type":"string","writeOnly":true},
+        |               "name":{"type":"string"}},
+        | "required":["id","secret","name"]}""".stripMargin)
+    val row = Seq((Option.empty[Int], Option.empty[String], Some("x"))).toDF("id", "secret", "name")
+    // request: id (readOnly) not demanded, secret (writeOnly) is
+    val reqErrs = Violations.validate(row, pack, Seq(), RuleCompiler.Ctx(direction = Request))
+      .select("path").as[String].collect().toSeq
+    assert(reqErrs === Seq("/secret"))
+    // response: secret not demanded, id is
+    val respErrs = Violations.validate(row, pack, Seq(), RuleCompiler.Ctx(direction = Response))
+      .select("path").as[String].collect().toSeq
+    assert(respErrs === Seq("/id"))
+  }
+
+  test("items type error suppresses sibling keyword errors per element (Schema.pm:410)") {
+    val rule = Items(All(Seq(TypeIs(Seq("integer")), Maximum(5))))
+    val df = Seq(Tuple1(Seq(6.5, 2.0, 7.0))).toDF("value")
+    val errs = Violations.validateColumn(df, rule, "value", Seq())
+      .select("path", "rule_id").as[(String, String)].collect().toSeq.sorted
+    // 6.5 → type error ONLY (maximum suppressed); 2.0 passes; 7.0 is a
+    // whole double (passes integer) → maximum error
+    assert(errs === Seq("/0" -> "type", "/2" -> "maximum"))
+  }
+
   test("collectionFormat splits csv/ssv/tsv/pipes (OpenAPIv2.pm:245-256)") {
     val df = Seq(("a,b,c", "a b c", "a\tb\tc", "a|b|c")).toDF("csv", "ssv", "tsv", "pipes")
     val out = df.select(

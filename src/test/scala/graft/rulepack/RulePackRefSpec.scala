@@ -1,0 +1,155 @@
+package graft.rulepack
+
+import graft.SparkSuite
+import graft.core.Rule
+import graft.core.Rule._
+import graft.core.JValue
+
+/** `$id`/`$anchor` registration and base-URI-aware `$ref` resolution —
+  * reference t/id-keyword-draft4.t, t/id-keyword-draft7.t,
+  * t/relative-ref.t, t/deep-mixed-ref.t semantics (Schema.pm:337-364). */
+class RulePackRefSpec extends SparkSuite {
+
+  test("joinUri resolves relative/fragment/absolute refs (RFC 3986)") {
+    assert(RulePack.joinUri("http://e.com/root.json", "b.json") === "http://e.com/b.json")
+    assert(RulePack.joinUri("http://e.com/b.json", "t/inner.json") === "http://e.com/t/inner.json")
+    assert(RulePack.joinUri("http://e.com/a/b.json", "../c.json") === "http://e.com/c.json")
+    assert(RulePack.joinUri("http://e.com/root.json", "#x") === "http://e.com/root.json#x")
+    assert(RulePack.joinUri("http://e.com/root.json", "urn:uuid:ee56") === "urn:uuid:ee56")
+    assert(RulePack.joinUri("", "defs.json") === "defs.json")
+  }
+
+  test("subschema ids rebase: b.json#bx resolves through two id hops (t/id-keyword-draft4.t fixture)") {
+    // the reference fixture, with constraints added so resolution is
+    // observable in the built rule
+    val rule = RulePack.parse(
+      """{"id": "http://example.com/relative-to-the-root.json",
+        | "definitions": {
+        |  "A": { "id": "#a", "minimum": 1 },
+        |  "B": { "id": "b.json",
+        |         "definitions": {
+        |           "X": { "id": "#bx", "maximum": 5 },
+        |           "Y": { "id": "t/inner.json", "minimum": 7 } } },
+        |  "C": { "id": "c.json",
+        |         "definitions": {
+        |           "X": { "id": "urn:uuid:ee564b8a-7a87-4125-8c96-e9f123d6766f", "maximum": 9 } } }
+        | },
+        | "properties": {
+        |  "r1": { "$ref": "b.json#bx" },
+        |  "r2": { "$ref": "#a" },
+        |  "r3": { "$ref": "urn:uuid:ee564b8a-7a87-4125-8c96-e9f123d6766f" },
+        |  "r4": { "$ref": "t/inner.json" }
+        | }}""".stripMargin)
+    val props = rule match {
+      case Properties(ps) => ps.toMap
+      case All(rs)        => rs.collectFirst { case Properties(ps) => ps.toMap }.get
+      case other          => fail(s"unexpected: $other")
+    }
+    assert(props("r1") === Maximum(5))                 // b.json + #bx anchor
+    assert(props("r2") === Minimum(1))                 // root anchor-form id
+    assert(props("r3") === Maximum(9))                 // urn id, location-independent
+    assert(props("r4") === Minimum(7))                 // id relative to b.json, NOT the root
+  }
+
+  test("cross-document '#/' fragments resolve against the OWNING document (Schema.pm base_url)") {
+    // the store doc's internal ref must hit ITS definitions — the entry
+    // document has a decoy at the same pointer with different semantics
+    val defs = JValue.parse(
+      """{"definitions": {
+        |  "pos": { "minimum": 0 },
+        |  "agelike": { "$ref": "#/definitions/pos" } }}""".stripMargin)
+    val store = RulePack.Store(Map("http://x/defs.json" -> defs))
+    val rule = RulePack.parse(
+      """{"definitions": { "pos": { "maximum": 999 } },
+        | "properties": { "age": { "$ref": "http://x/defs.json#/definitions/agelike" } }}""".stripMargin,
+      store)
+    val props = rule match {
+      case Properties(ps) => ps.toMap
+      case other          => fail(s"unexpected: $other")
+    }
+    assert(props("age") === Minimum(0)) // NOT Maximum(999) from the entry root
+  }
+
+  test("relative cross-doc refs join against the root id (t/relative-ref.t shape)") {
+    val age = JValue.parse("""{"type": "integer", "minimum": 0}""")
+    val store = RulePack.Store(Map("http://e.com/definitions/age.json" -> age))
+    val rule = RulePack.parse(
+      """{"$id": "http://e.com/spec/with-relative-ref.json",
+        | "type": "object",
+        | "properties": { "age": { "$ref": "../definitions/age.json#" } }}""".stripMargin,
+      store)
+    val props = rule match {
+      case All(rs) => rs.collectFirst { case Properties(ps) => ps.toMap }.get
+      case other   => fail(s"unexpected: $other")
+    }
+    assert(props("age") === All(Seq(TypeIs(Seq("integer")), Minimum(0))))
+  }
+
+  test("$anchor registers under base#name (draft2019-09)") {
+    val rule = RulePack.parse(
+      """{"$id": "http://e.com/a.json",
+        | "$defs": { "p": { "$anchor": "positive", "minimum": 0 } },
+        | "properties": { "n": { "$ref": "#positive" } }}""".stripMargin)
+    val props = rule match {
+      case Properties(ps) => ps.toMap
+      case All(rs)        => rs.collectFirst { case Properties(ps) => ps.toMap }.get
+      case other          => fail(s"unexpected: $other")
+    }
+    assert(props("n") === Minimum(0))
+  }
+
+  test("root id validation: fragment and relative root ids are rejected (t/id-keyword-draft4.t)") {
+    val fragErr = intercept[IllegalArgumentException](
+      RulePack.parse("""{"id": "http://example.com/x.json#cannot_be_here"}"""))
+    assert(fragErr.getMessage.contains("Fragment not allowed"))
+    val relErr = intercept[IllegalArgumentException](
+      RulePack.parse("""{"id": "whatever"}"""))
+    assert(relErr.getMessage.contains("Relative URL not allowed"))
+  }
+
+  test("YAML packs parse to the identical Rule as their JSON twin (t/load-yaml.t)") {
+    val yaml =
+      """---
+        |title: Example Schema
+        |type: object
+        |required:
+        |  - firstName
+        |  - lastName
+        |properties:
+        |  firstName:
+        |    type: string
+        |  lastName:
+        |    type: string
+        |  age:
+        |    type: integer
+        |    minimum: 0
+        |    description: Age in years
+        |""".stripMargin
+    val json =
+      """{"title": "Example Schema", "type": "object",
+        | "required": ["firstName", "lastName"],
+        | "properties": {
+        |   "firstName": {"type": "string"},
+        |   "lastName": {"type": "string"},
+        |   "age": {"type": "integer", "minimum": 0, "description": "Age in years"}}}""".stripMargin
+    assert(RulePack.parseYaml(yaml) === RulePack.parse(json))
+    // str2data sniffing: '{' → JSON, else YAML (Util.pm:163-167)
+    assert(RulePack.parseAny(yaml) === RulePack.parseAny(json))
+
+    // the reference test's semantics: {firstName: 'yikes!'} → one error,
+    // /lastName 'Missing property.'
+    import spark.implicits._
+    val df = Seq((Some("yikes!"), Option.empty[String], Option.empty[Int]))
+      .toDF("firstName", "lastName", "age")
+    val errs = graft.core.Violations.validate(df, RulePack.parseYaml(yaml), Seq())
+      .select("path", "message").as[(String, String)].collect().toSeq
+    assert(errs === Seq("/lastName" -> "Missing property."))
+  }
+
+  test("unresolvable and recursive refs still fail fast") {
+    intercept[IllegalArgumentException](
+      RulePack.parse("""{"$ref": "#/nope"}"""))
+    intercept[IllegalArgumentException](
+      RulePack.parse("""{"definitions": {"a": {"$ref": "#/definitions/a"}}, "$ref": "#/definitions/a"}"""))
+  }
+}

@@ -50,6 +50,21 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(m.completed.values.sum === 5000L)
   }
 
+  test("writeResumable: NULL partition values are written and resume under the hive default key") {
+    val root = Files.createTempDirectory("snap3").toString
+    val store = new SnapshotStore(root, spark)
+    val df = TokenGen.tokenSequences(spark, 1000, numPartitions = 2, maxLen = 8)
+      .withColumn("bucket",
+        when(pmod(xxhash64(col("doc_id")), lit(4)) === 0, lit(null).cast("int"))
+          .otherwise(lit(1)))
+    val written = store.writeResumable(df, "bucket", "snap-c")
+    assert(written.keySet === Set(store.NullPartitionKey, "1"))
+    assert(written.values.sum === 1000L)
+    assert(store.read().count() === 1000L)
+    // resume: the null partition is recorded as done, nothing re-runs
+    assert(store.writeResumable(df, "bucket", "snap-c").isEmpty)
+  }
+
   test("manifest json round-trips") {
     val m = SnapshotManifest("s1", Some("s0"), Map("a" -> 10L, "b" -> 20L))
     assert(SnapshotManifest.fromJson(m.toJson) === m)
