@@ -362,6 +362,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "s04_ann_ivf" -> ((s, dir) => {
+      // IVF-flat: data-adaptive cells (vs topKLsh's oblivious planes);
+      // deterministic coarse quantizer = 16 lowest-id vectors, 4 probes
+      val emb = t(s, dir, "embeddings")
+      Similarity.topKIvf(emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("sim6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "m01_media_meta" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractMeta(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
@@ -767,6 +778,36 @@ object SparkEntry {
          | FROM cand JOIN b qa ON cand.id_a = qa.vec_id JOIN b qb ON cand.id_b = qb.vec_id)
          |SELECT id_a, id_b, round(cosine, 6) AS sim6 FROM pairs
          |WHERE cosine >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "s04_ann_ivf" -> {
+      def dotSql(a: String, b: String) =
+        s"""list_aggregate(list_transform(range(1, len($a) + 1),
+           |     i -> $a[i]::DOUBLE * $b[i]::DOUBLE), 'sum')""".stripMargin
+      def nrmSql(a: String) =
+        s"sqrt(list_aggregate(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $a[i]::DOUBLE), 'sum'))"
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec, ${nrmSql("embedding")} AS cnrm
+         |           FROM embeddings ORDER BY vec_id LIMIT 16),
+         |v AS (SELECT vec_id AS id, embedding AS vec, ${nrmSql("embedding")} AS nrm FROM embeddings),
+         |aff AS (SELECT id, vec, nrm, cid, ${dotSql("vec", "cvec")} / nullif(nrm * cnrm, 0) AS aff
+         |        FROM v CROSS JOIN c),
+         |assigned AS (SELECT id, vec, nrm, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY aff DESC, cid) AS rn FROM aff) t
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec, ${nrmSql("embedding")} AS qnrm
+         |      FROM embeddings WHERE vec_id < 8),
+         |qaff AS (SELECT qid, qvec, qnrm, cid, ${dotSql("qvec", "cvec")} / nullif(qnrm * cnrm, 0) AS aff
+         |         FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, qvec, qnrm, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY aff DESC, cid) AS pr FROM qaff) t
+         |  WHERE pr <= 4),
+         |scored AS (SELECT qid AS query_id, id AS neighbor_id,
+         |  ${dotSql("qvec", "vec")} / nullif(qnrm * nrm, 0) AS c_raw
+         |  FROM assigned JOIN probes USING (cell) WHERE qid <> id),
+         |ranked AS (SELECT query_id, neighbor_id, round(c_raw, 6) AS sim6,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY c_raw DESC, neighbor_id) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, sim6, rank FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "m01_media_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

@@ -193,6 +193,62 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF-flat cell assignment: every vector joins the (broadcast) centroid
+    * set, affinity = cosine, and ONE partial-aggregated `groupBy(id)` picks
+    * the best cell via `max(struct(aff, −cid))` (max affinity, ties to the
+    * smallest centroid id — deterministic and engine-portable). The shuffle
+    * carries N rows (not N×nlist): map-side combine collapses the centroid
+    * fan-out before the exchange. Output `(id, vec, nrm, cell)`. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"), norm(col(vecCol)).as("nrm"))
+    v.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("nrm"), col("cid"),
+        (dot(col("vec"), col("cvec")) / nullif(col("nrm") * col("cnrm"), lit(0.0))).as("aff"))
+      .groupBy("id")
+      .agg(first(col("vec")).as("vec"), first(col("nrm")).as("nrm"),
+        max(struct(col("aff"), (-col("cid")).as("negcid"))).as("m"))
+      .select(col("id"), col("vec"), col("nrm"), (-col("m.negcid")).as("cell"))
+  }
+
+  /** Deterministic coarse quantizer for [[topKIvf]]: the `nlist`
+    * lowest-id corpus vectors (a fixed, engine-portable choice — a trained
+    * k-means would not be bit-reproducible across engines; plug real
+    * centroids in via [[ivfAssign]] when portability is not required). */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
+    df.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
+
+  /** ANN via IVF-flat: corpus vectors are bucketed into `nlist` centroid
+    * cells once; each query probes its `nprobe` nearest cells and re-ranks
+    * exactly inside them. Complement to [[topKLsh]]: IVF gives data-adaptive
+    * cells (LSH planes are data-oblivious) at the cost of the N×nlist
+    * assignment pass. Scan cost per query ≈ N·nprobe/nlist instead of N.
+    * Output `(query_id, neighbor_id, cosine, rank)`, self-matches excluded,
+    * ties by neighbor id. */
+  def topKIvf(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val assigned = ivfAssign(corpus, idCol, vecCol, cents)
+
+    // query probes: top-nprobe cells by affinity (queries are few; the
+    // window is over |queries|·nlist rows)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"), norm(col(vecCol)).as("qnrm"))
+    val probeW = Window.partitionBy("qid").orderBy(col("aff").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qvec"), col("qnrm"), col("cid"),
+        (dot(col("qvec"), col("cvec")) / nullif(col("qnrm") * col("cnrm"), lit(0.0))).as("aff"))
+      .withColumn("pr", row_number().over(probeW)).where(col("pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("qnrm"), col("cid").as("cell"))
+
+    val scored = assigned.join(probes, Seq("cell"))
+      .where(col("qid") =!= col("id"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        (dot(col("qvec"), col("vec")) / nullif(col("qnrm") * col("nrm"), lit(0.0))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Corpus-scale near-duplicate pairs: LSH bucket pre-filter → exact
     * cosine ≥ `minCosine`. Same output shape as [[nearDupPairs]]
     * (`id_a, id_b, cosine`, id_a < id_b) restricted to candidates that

@@ -97,6 +97,26 @@ class ReferenceParitySpec extends SparkSuite {
       Seq("/" -> "/oneOf/0 Should not match.", "/" -> "/oneOf/1 Should not match."))
   }
 
+  // ---- unicode multibyte (t/unicode-multibyte.t:16-24) ----
+  test("multibyte enum matching and char-based length/pattern semantics") {
+    // enum: JVM strings are already unicode, so the reference's
+    // encoded-bytes mismatch case maps to a plain not-in-enum case
+    check(Seq("foo♫bar").toDF("value"), """{"enum":["foo♫bar"]}""", Seq())
+    check(Seq("foo?bar").toDF("value"), """{"enum":["foo♫bar"]}""",
+      Seq("/" -> "Not in enum list: foo♫bar."))
+    // replacement char is a perfectly ordinary code point
+    check(Seq("replacement�char").toDF("value"),
+      """{"enum":["replacement�char"]}""", Seq())
+    // length counts CHARACTERS, not bytes: "世界" is 2 chars / 6 UTF-8 bytes
+    check(Seq("世界").toDF("value"), """{"minLength":2,"maxLength":2}""", Seq())
+    check(Seq("世").toDF("value"), """{"minLength":2}""",
+      Seq("/" -> "String is too short: 1/2."))
+    // astral plane: one code point, 4 UTF-8 bytes, 2 UTF-16 units → length 1
+    check(Seq("💩").toDF("value"), """{"maxLength":1}""", Seq())
+    // patterns match on characters too
+    check(Seq("a♫b").toDF("value"), """{"pattern":"^a.b$"}""", Seq())
+  }
+
   // ---- determinism across partitionings (t/predictable-errors.t) ----
   test("violation order is stable across input partitionings") {
     val rows = (1 to 500).map(i => (i.toLong, s"v$i", i % 97))

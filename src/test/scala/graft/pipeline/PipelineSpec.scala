@@ -121,6 +121,23 @@ class PipelineSpec extends SparkSuite {
     assert(top.where(col("rank") > 3).count() === 0)
   }
 
+  test("IVF: a duplicated vector is found at rank 1 through its probed cell") {
+    val base = emb001.select(col("vec_id"), col("embedding"))
+    val dup = base.where(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(dup)
+    val top = Similarity.topKIvf(corpus.where(col("vec_id") === 9999), corpus,
+      "vec_id", "embedding", k = 1, nlist = 8, nprobe = 2)
+    val row = top.head()
+    assert(row.getAs[Long]("neighbor_id") === 0L)
+    assert(math.abs(row.getAs[Double]("cosine") - 1.0) < 1e-9)
+    // every corpus vector lands in exactly one cell
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding",
+      Similarity.ivfCentroids(corpus, "vec_id", "embedding", 8))
+    assert(assigned.count() === corpus.count())
+    assert(assigned.select("cell").distinct().count() <= 8)
+  }
+
   test("multimodal: frame sampling keeps every stride-th frame") {
     import spark.implicits._
     val media = Multimodal.fromText(docs.limit(5), "doc_id", "text")
