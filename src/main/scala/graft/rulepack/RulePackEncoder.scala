@@ -26,7 +26,15 @@ object RulePackEncoder {
   }
 
   private def mergeObjs(parts: Seq[Vector[(String, JValue)]]): JValue = {
-    val fields = parts.flatten
+    val fields0 = parts.flatten
+    // duplicate `required` arrays union (conjunction-equivalent) — keeps
+    // modality-split required lists (plain + readOnly + writeOnly) in ONE
+    // object so the parser's per-direction re-split sees the flags
+    val fields =
+      if (fields0.count(_._1 == "required") > 1) {
+        val names = fields0.collect { case ("required", JArr(items)) => items }.flatten.distinct
+        fields0.filterNot(_._1 == "required") :+ ("required" -> (JArr(names.toVector): JValue))
+      } else fields0
     val dup = fields.groupBy(_._1).filter(_._2.size > 1)
     if (dup.isEmpty) JObj(fields.toVector)
     // keyword collision (e.g. two Patterns) → allOf form, still one object
@@ -94,6 +102,16 @@ object RulePackEncoder {
         "mapping" -> JObj(mapping.toVector.map { case (k, r) => k -> encode(r) })) ++
         default.map("default" -> encode(_))))
     case Predicate(id, _, _) => Vector("x-predicate" -> JStr(id))
+    // modality: the readOnly/writeOnly composite (Rule.readOnly/writeOnly =
+    // Modal + PresenceForbidden) re-emerges from these standalone cases —
+    // PresenceForbidden carries the flag, Modal defers to its inner rule
+    // (the parser re-derives directions from the flags). A Modal(Required)
+    // from per-direction required-stripping folds back into `required`.
+    case Modal(Required(fs), _) => Vector("required" -> JArr(fs.map(JStr(_))))
+    case Modal(r, _)            => encodeObj(r)
+    case PresenceForbidden(Request, _)  => Vector("readOnly" -> JBool(true))
+    case PresenceForbidden(Response, _) => Vector("writeOnly" -> JBool(true))
+    case PresenceForbidden(Both, _)     => Vector.empty
     case All(rules) =>
       mergeObjs(rules.map(encodeObj)) match {
         case JObj(fields) => fields

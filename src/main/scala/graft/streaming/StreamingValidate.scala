@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.core.{Rule, RuleCompiler}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface of the engine (the reference is purely
   * synchronous single-document — SURVEY.md §2.9; this is the engine-side
@@ -29,6 +30,53 @@ object StreamingValidate {
         when(col("_e.path") === "", "/").otherwise(col("_e.path")).as("path"),
         col("_e.rule_id").as("rule_id"),
         col("_e.observed").as("observed")): _*)
+  }
+
+  /** One deduplicated row `(key, fingerprint, event_time)`. */
+  final case class DedupedDoc(key: String, fp: String, ts: java.sql.Timestamp)
+
+  /** Streaming exact dedup via `flatMapGroupsWithState`: the first document
+    * per content fingerprint passes through, replays are dropped. State is
+    * one tiny record per fingerprint, expired `ttlMs` of EVENT time after
+    * the last occurrence (event-time timeout rides the watermark, so the
+    * operator is deterministic under replay — the standard bounded-state
+    * design for continuous ingest dedup; an unbounded keep-forever set
+    * belongs to the batch/snapshot path, `Dedup.exactDupGroups`).
+    *
+    * Input must carry `(keyCol, textCol, tsCol)`; output is append-mode
+    * safe. */
+  def dedupStream(stream: DataFrame, keyCol: String, textCol: String,
+      tsCol: String, ttlMs: Long = 3600000L): Dataset[DedupedDoc] = {
+    import stream.sparkSession.implicits._
+    // the watermarked timestamp column must survive into the grouped
+    // Dataset — projecting it away detaches the watermark and event-time
+    // timeouts are rejected
+    val keyed = stream
+      .withWatermark(tsCol, s"$ttlMs milliseconds")
+      .select(
+        col(keyCol).cast("string").as("key"),
+        graft.pipeline.TextAnalysis.fingerprint(col(textCol)).as("fp"),
+        // NO cast here: re-wrapping the column strips the event-time
+        // watermark tag and the event-time timeout is then rejected
+        col(tsCol).as("ts"))
+      .as[DedupedDoc]
+      .groupByKey(_.fp)
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (fp: String, rows: Iterator[DedupedDoc], state: GroupState[Boolean]) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val batch = rows.toSeq
+          val out = if (state.exists) Iterator.empty else batch.take(1).iterator
+          state.update(true)
+          // extend the state's life ttl past the newest occurrence (must
+          // stay ahead of the watermark or Spark rejects the timestamp)
+          val horizon = math.max(batch.iterator.map(_.ts.getTime).max + ttlMs,
+            state.getCurrentWatermarkMs() + 1)
+          state.setTimeoutTimestamp(horizon)
+          out
+        }
+      })
   }
 
   /** Tumbling-window pass/fail verdicts with a watermark: the streaming

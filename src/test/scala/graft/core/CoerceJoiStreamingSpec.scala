@@ -74,6 +74,32 @@ class CoerceJoiStreamingSpec extends SparkSuite {
     d.toString
   }
 
+  test("streaming: stateful exact dedup drops replays across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingValidate.dedupStream(df, "doc_id", "text", "ts")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // NOT epoch 0: the initial watermark is 0 and stateful operators
+      // drop rows at-or-before it
+      val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData(("a", "hello world", t), ("b", "hello world", t), ("c", "other", t))
+      q.processAllAvailable()
+      // replay in a LATER micro-batch is dropped by state, fresh content passes
+      input.addData(("d", "hello world", t), ("e", "fresh", t))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+      val keys = rows.map(_.getString(0)).toSet
+      assert(rows.length === 3) // one per distinct fingerprint
+      assert(keys.contains("c") && keys.contains("e"))
+      assert(!keys.contains("d")) // cross-batch replay dropped
+      assert((keys -- Set("c", "e")).subsetOf(Set("a", "b"))) // in-batch dup: first wins
+    } finally q.stop()
+  }
+
   test("streaming: row-local violations flow through a stream unchanged") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema

@@ -146,6 +146,18 @@ class RulePackRefSpec extends SparkSuite {
     assert(errs === Seq("/lastName" -> "Missing property."))
   }
 
+  test("modality packs (readOnly/writeOnly + required) encode/parse round-trip") {
+    val json =
+      """{"type":"object",
+        | "properties":{"id":{"type":"integer","readOnly":true},
+        |               "secret":{"type":"string","writeOnly":true},
+        |               "name":{"type":"string"}},
+        | "required":["id","secret","name"]}""".stripMargin
+    val rule = RulePack.parse(json)
+    val reparsed = RulePack.parse(RulePackEncoder.encodeToJson(rule))
+    assert(reparsed === rule)
+  }
+
   test("unresolvable and recursive refs still fail fast") {
     intercept[IllegalArgumentException](
       RulePack.parse("""{"$ref": "#/nope"}"""))
