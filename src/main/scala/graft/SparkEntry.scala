@@ -324,6 +324,16 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
+    "p10_dedup_groups" -> ((s, dir) => {
+      // pairs → GROUPS: connected components over the LSH candidate graph
+      // (component = min doc id = the canonical keeper)
+      val pairs = Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 8, family = Dedup.Md5Portable)
+      Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "s01_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 8).select(col("vec_id").as("query_id"),
@@ -419,6 +429,28 @@ object SparkEntry {
        |FROM e0),
        |b AS (SELECT vec_id, embedding, nrm, $bucketCols FROM e),
        |st AS ($stack)""".stripMargin
+  }
+
+  /** Shared DuckDB CTE chain producing the MinHash-LSH candidate pairs as
+    * `cand(id_a, id_b)` — 16 md5-window signatures, 8 bands × 2 rows; band
+    * key = md5 of the comma-joined decimal signature pair (identical to
+    * Spark's md5(concat_ws(",", sig::string…)) — sigs are in [0, 2^32) so
+    * the decimal rendering is sign-free and engine-identical). Used by the
+    * p08 (pairs) and p10 (connected components) oracles. */
+  private def minhashPairCtes: String = {
+    val sig = (0 until 16).map(j =>
+      s"list_min(list_transform(sh, s -> ('0x' || substr(md5('${j / 4}:' || s), ${1 + 8 * (j % 4)}, 8))::BIGINT)) AS sig_$j")
+      .mkString(",\n ")
+    val bandList = (0 until 8).map(b =>
+      s"md5(sig_${2 * b}::VARCHAR || ',' || sig_${2 * b + 1}::VARCHAR)").mkString(", ")
+    s"""w AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+       |shl AS (SELECT doc_id, list_distinct(list_transform(
+       |  range(1, greatest(len(ws) - 2, 0) + 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
+       |sigs AS (SELECT doc_id, $sig FROM shl),
+       |bands AS (SELECT doc_id, unnest([$bandList]) AS bucket FROM sigs),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   /** DuckDB regex note: RE2 syntax; '\\s' etc. are literal backslashes in
@@ -696,26 +728,22 @@ object SparkEntry {
          |SELECT doc_id, $sig FROM shl ORDER BY doc_id""".stripMargin
     },
 
-    "p08_minhash_candidates" -> {
-      // 16 md5-seeded signatures, 8 bands × 2 rows; band key = md5 of the
-      // comma-joined decimal signature pair (identical to Spark's
-      // md5(concat_ws(",", sig::string…)) — sigs are in [0, 2^32) so the
-      // decimal rendering is sign-free and engine-identical)
-      val sig = (0 until 16).map(j =>
-        s"list_min(list_transform(sh, s -> ('0x' || substr(md5('${j / 4}:' || s), ${1 + 8 * (j % 4)}, 8))::BIGINT)) AS sig_$j")
-        .mkString(",\n ")
-      val bandList = (0 until 8).map(b =>
-        s"md5(sig_${2 * b}::VARCHAR || ',' || sig_${2 * b + 1}::VARCHAR)").mkString(", ")
-      s"""WITH w AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
-         |shl AS (SELECT doc_id, list_distinct(list_transform(
-         |  range(1, greatest(len(ws) - 2, 0) + 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
-         |sigs AS (SELECT doc_id, $sig FROM shl),
-         |bands AS (SELECT doc_id, unnest([$bandList]) AS bucket FROM sigs)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "p08_minhash_candidates" ->
+      s"""WITH $minhashPairCtes
+         |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    "p10_dedup_groups" ->
+      // connected components = transitive min-label closure over the same
+      // candidate graph, as a recursive CTE (UNION semantics terminate it)
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |bi AS (SELECT id_a AS src, id_b AS dst FROM cand
+         |       UNION ALL SELECT id_b, id_a FROM cand),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM bi
+         |  UNION
+         |  SELECT bi.dst, reach.lab FROM reach JOIN bi ON bi.src = reach.node)
+         |SELECT node AS doc_id, min(lab) AS component FROM reach
+         |GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "p09_simhash" -> {
       val votes = (0 until 32).map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b").mkString(", ")

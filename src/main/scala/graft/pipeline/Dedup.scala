@@ -179,6 +179,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over candidate pairs — turns near-duplicate PAIRS
+    * into duplicate GROUPS (component id = min doc id in the group, the
+    * canonical "keeper"). Iterative min-label propagation: each round every
+    * node takes the min of its own label and its neighbors' labels;
+    * converges in O(graph diameter) rounds, which for dedup graphs (dense
+    * cliques of near-identical docs, tiny diameter) is 2–3 rounds.
+    * `localCheckpoint` breaks lineage per round so plans stay flat.
+    *
+    * Scale note: rounds = diameter joins, each shuffling |edges|; for
+    * adversarially long chain graphs at 10^12 edges the two-phase
+    * large-star/small-star variant (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond") halves the work — dedup graphs don't need
+    * it. Output `(id, component)`. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst")).agg(min("label").as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === neighborMin("dst"), "left")
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.where(col("label") =!= col("old")).count()
+      labels = updated.select("id", "label")
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** 32-bit SimHash over whitespace tokens: bit b of the fingerprint is the
     * sign of Σ_tokens (2·bit_b(h(token)) − 1). Hamming-near fingerprints =
     * near-duplicate documents. Pure per-row expression. */

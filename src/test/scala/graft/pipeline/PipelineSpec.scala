@@ -121,6 +121,15 @@ class PipelineSpec extends SparkSuite {
     assert(top.where(col("rank") > 3).count() === 0)
   }
 
+  test("connected components: chains collapse to min-id groups, propagation crosses rounds") {
+    // a 5-node path (diameter 4 → needs >1 propagation round) + a separate pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(cc === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("IVF: a duplicated vector is found at rank 1 through its probed cell") {
     val base = emb001.select(col("vec_id"), col("embedding"))
     val dup = base.where(col("vec_id") === 0)
