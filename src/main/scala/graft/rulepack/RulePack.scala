@@ -119,11 +119,22 @@ object RulePack {
         case None => base
       }
       o.get("$anchor").foreach { case JStr(a) => reg(s"${stripFragment(newBase)}#$a") = o; case _ => }
-      for ((k, sub) <- o.fields if !dataKeys(k)) registerIds(sub, newBase, reg)
+      for ((k, sub) <- o.fields) k match {
+        // schema MAPS: the keys are property names / regexes, not keywords
+        // — a property literally named "default" still holds a schema
+        case "properties" | "patternProperties" | "definitions" | "$defs" | "dependentSchemas" =>
+          sub match {
+            case JObj(fs) => fs.foreach { case (_, s) => registerIds(s, newBase, reg) }
+            case _        =>
+          }
+        case kk if !dataKeys(kk) => registerIds(sub, newBase, reg)
+        case _ =>
+      }
     case JArr(items) => items.foreach(registerIds(_, base, reg))
     case _ =>
   }
 
+  /** Keywords whose contents are instances, not schemas. */
   private val dataKeys = Set("enum", "const", "default", "examples")
 
   def fromJson(root: JValue, store: Store = Store()): Rule = {

@@ -146,6 +146,21 @@ class RulePackRefSpec extends SparkSuite {
     assert(errs === Seq("/lastName" -> "Missing property."))
   }
 
+  test("schema-map keys shadowing data keywords still register their ids") {
+    // a property literally named "default" holds a schema with an $id —
+    // the registration walk must not mistake the KEY for the keyword
+    val rule = RulePack.parse(
+      """{"$id": "http://e.com/r.json",
+        | "definitions": { "default": { "$id": "http://e.com/d.json", "minimum": 3 } },
+        | "properties": { "x": { "$ref": "http://e.com/d.json" } }}""".stripMargin)
+    val props = rule match {
+      case Properties(ps) => ps.toMap
+      case All(rs)        => rs.collectFirst { case Properties(ps) => ps.toMap }.get
+      case other          => fail(s"unexpected: $other")
+    }
+    assert(props("x") === Minimum(3))
+  }
+
   test("modality packs (readOnly/writeOnly + required) encode/parse round-trip") {
     val json =
       """{"type":"object",
