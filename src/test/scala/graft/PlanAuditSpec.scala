@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Plan regression guards: the properties that make the checked queries
+  * 100 TB-shaped are asserted on the PLAN, not just observed once in an
+  * `.explain` session — a rewrite that silently reintroduces a cartesian
+  * or widens a scan fails here. */
+class PlanAuditSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.executedPlan.collectLeaves().collect { case f: FileSourceScanExec => f }
+
+  test("q02 pushes filters and prunes columns into the parquet scan") {
+    val df = SparkEntry.queries("q02_filter_topn")(spark, dir)
+    val scan = scans(df).head
+    // projection pruning: only the 4 selected + filtered columns are read
+    assert(scan.requiredSchema.fieldNames.toSet ===
+      Set("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_shipdate"))
+    // predicate pushdown reached the scan
+    assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(l_quantity"))
+  }
+
+  test("uniqueness scan reads only the key column") {
+    val df = SparkEntry.queries("v03_unique_dup_keys")(spark, dir)
+    assert(scans(df).forall(_.requiredSchema.fieldNames.toSet == Set("l_orderkey")))
+  }
+
+  test("bucketed similarity/dedup paths never plan a cartesian product") {
+    for (q <- Seq("s02_ann_lsh", "s03_embedding_neardup", "p06_ngram_jaccard",
+        "p08_minhash_candidates")) {
+      val plan = planString(SparkEntry.queries(q)(spark, dir))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("q03 no longer hardcodes a broadcast of the growing customer table") {
+    // nation (25 rows, true dim) may broadcast; customer must be left to
+    // the size-gated planner — the logical plan must carry no user hint on it
+    val logical = SparkEntry.queries("q03_revenue_by_nation")(spark, dir)
+      .queryExecution.analyzed.toString
+    val hints = logical.linesIterator.filter(_.contains("UnresolvedHint")).size +
+      logical.linesIterator.filter(_.contains("ResolvedHint")).size
+    assert(hints <= 1, "only the nation dim may carry a broadcast hint")
+  }
+
+  test("parquet-backed validation runs inside whole-stage codegen (no UDFs to break it)") {
+    // `*(n)` node prefixes in the plan string = WholeStageCodegenExec spans;
+    // AQE only inserts them into the FINAL plan, so execute first
+    val df = SparkEntry.queries("v02_violation_rows_orders")(spark, dir)
+    df.collect()
+    val plan = planString(df)
+    assert(plan.contains("isFinalPlan=true"))
+    assert(plan.contains("*("), "no whole-stage-codegen span in the validation plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("udf"))
+  }
+}

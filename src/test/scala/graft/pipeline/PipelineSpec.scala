@@ -147,6 +147,23 @@ class PipelineSpec extends SparkSuite {
     assert(assigned.select("cell").distinct().count() <= 8)
   }
 
+  test("pipeline operators are partition-invariant (same results at 2 and 13 partitions)") {
+    // the property that makes results reproducible on ANY cluster layout:
+    // no hash/agg/join in these paths depends on physical partitioning
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val d2 = docs.repartition(2)
+    val d13 = docs.repartition(13)
+    assert(sortedRows(Dedup.minhashCandidatePairs(d2, "doc_id", "text", family = Dedup.Md5Portable)) ===
+      sortedRows(Dedup.minhashCandidatePairs(d13, "doc_id", "text", family = Dedup.Md5Portable)))
+    assert(sortedRows(Dedup.jaccardPairs(d2, "doc_id", "text", 3, 0.3, maxDocFreq = 50)) ===
+      sortedRows(Dedup.jaccardPairs(d13, "doc_id", "text", 3, 0.3, maxDocFreq = 50)))
+    val e3 = emb001.repartition(3)
+    val e11 = emb001.repartition(11)
+    assert(sortedRows(Similarity.lshCandidatePairs(e3, "vec_id", "embedding", 3, 6, dims = Some(64))) ===
+      sortedRows(Similarity.lshCandidatePairs(e11, "vec_id", "embedding", 3, 6, dims = Some(64))))
+  }
+
   test("multimodal: frame sampling keeps every stride-th frame") {
     import spark.implicits._
     val media = Multimodal.fromText(docs.limit(5), "doc_id", "text")
