@@ -383,6 +383,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s05_embedding_quantize" -> ((s, dir) => {
+      // int8 scalar quantization profile: per-vector scale, code stats and
+      // max reconstruction error (≤ scale/2 by construction). q is built
+      // once per row; the derived stats inline it (cheap per-row arrays)
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("vec_id"), col("embedding"),
+          Similarity.sqScale(col("embedding")).as("scale"))
+        .withColumn("q", Similarity.sqQuantize(col("embedding"), col("scale")))
+        .select(
+          col("vec_id"),
+          round(coalesce(col("scale"), lit(0.0)), 9).as("scale9"),
+          aggregate(col("q"), lit(0L), (a, v) => a + v.cast("long")).as("qsum"),
+          array_min(col("q")).cast("long").as("qmin"),
+          array_max(col("q")).cast("long").as("qmax"),
+          round(array_max(zip_with(col("embedding"), col("q"),
+            (x, v) => abs(x.cast("double") - v.cast("double") * coalesce(col("scale"), lit(0.0))))), 9).as("err9"))
+        .orderBy("vec_id")
+    }),
+
     "m01_media_meta" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractMeta(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
@@ -837,6 +856,20 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, sim6, rank FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "s05_embedding_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  nullif(list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0, 0) AS scale
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, embedding, scale,
+        |  list_transform(embedding, x -> CAST(coalesce(round(x::DOUBLE / scale), 0) AS TINYINT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, round(coalesce(scale, 0), 9) AS scale9,
+        | list_aggregate(list_transform(qv, v -> v::BIGINT), 'sum') AS qsum,
+        | list_min(qv)::BIGINT AS qmin, list_max(qv)::BIGINT AS qmax,
+        | round(list_max(list_transform(range(1, len(embedding) + 1),
+        |   i -> abs(embedding[i]::DOUBLE - qv[i]::DOUBLE * coalesce(scale, 0)))), 9) AS err9
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

@@ -193,6 +193,24 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Per-vector symmetric int8 scalar-quantization scale: maxAbs/127
+    * (`NULL` for the zero vector — quantize maps it to all-zeros). 4 bytes
+    * of float become 1 byte: the standard storage-scale lever for a
+    * 100 TB embedding table (SQ8 keeps cosine recall ≳0.99 at 4× less
+    * scan bandwidth; re-rank the shortlist with the float vectors). */
+  def sqScale(vec: Column): Column =
+    nullif(aggregate(vec, lit(0.0), (m, x) => greatest(m, abs(x.cast("double")))) / lit(127.0), lit(0.0))
+
+  /** Quantize to int8 codes (array<tinyint>): round(x/scale), in
+    * [-127, 127] by construction. */
+  def sqQuantize(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      coalesce(round(x.cast("double") / scale, 0), lit(0.0)).cast("tinyint"))
+
+  /** Reconstruct doubles from codes: q·scale (zero vector → zeros). */
+  def sqDequantize(q: Column, scale: Column): Column =
+    transform(q, v => v.cast("double") * coalesce(scale, lit(0.0)))
+
   /** IVF-flat cell assignment: every vector joins the (broadcast) centroid
     * set, affinity = cosine, and ONE partial-aggregated `groupBy(id)` picks
     * the best cell via `max(struct(aff, −cid))` (max affinity, ties to the

@@ -147,6 +147,30 @@ class PipelineSpec extends SparkSuite {
     assert(assigned.select("cell").distinct().count() <= 8)
   }
 
+  test("int8 quantization: codes bounded, reconstruction error ≤ scale/2, ANN recall survives") {
+    val q = emb001.select(col("vec_id"), col("embedding"),
+        Similarity.sqScale(col("embedding")).as("scale"))
+      .withColumn("q", Similarity.sqQuantize(col("embedding"), col("scale")))
+      .withColumn("deq", Similarity.sqDequantize(col("q"), col("scale")))
+    // codes in [-127, 127]
+    assert(q.where(array_max(col("q")) > 127 || array_min(col("q")) < -127).count() === 0)
+    // max reconstruction error bounded by scale/2 (+ float slack)
+    val bad = q.where(array_max(zip_with(col("embedding"), col("deq"),
+      (x, d) => abs(x.cast("double") - d))) > col("scale") / 2 + lit(1e-9)).count()
+    assert(bad === 0)
+    // quantized cosine ranks the exact duplicate first (recall sanity)
+    val dup = emb001.where(col("vec_id") === 0)
+      .select(lit(9999L).as("vec_id"), col("embedding"))
+    val corpus = emb001.select("vec_id", "embedding").unionByName(dup)
+      .select(col("vec_id"),
+        Similarity.sqDequantize(
+          Similarity.sqQuantize(col("embedding"), Similarity.sqScale(col("embedding"))),
+          Similarity.sqScale(col("embedding"))).as("embedding"))
+    val top = Similarity.topKBruteForce(
+      corpus.where(col("vec_id") === 9999), corpus, "vec_id", "embedding", k = 1)
+    assert(top.head().getAs[Long]("neighbor_id") === 0L)
+  }
+
   test("pipeline operators are partition-invariant (same results at 2 and 13 partitions)") {
     // the property that makes results reproducible on ANY cluster layout:
     // no hash/agg/join in these paths depends on physical partitioning
