@@ -7,17 +7,28 @@ import org.apache.spark.sql.SparkSession
 /** Command-line surface of the engine: validate a parquet table against a
   * JSON rule pack and write/print the violation + verdict tables.
   *
-  * Usage: ValidateCli <table.parquet> <rulepack.json|yaml> <idCol[,idCol…]> [outDir]
+  * Usage: ValidateCli <table.parquet> <rulepack.json|yaml> <idCol[,idCol…]>
+  *          [outDir] [--direction=request|response]
   *
   * With no outDir the violations print to stdout (driver-side `show`,
   * capped); with outDir they are written as parquet — the scale path.
+  * `--direction` validates as an OpenAPI request or response (readOnly /
+  * writeOnly modality; default validates everything).
   */
 object ValidateCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ValidateCli <table.parquet> <rulepack.json> <idCols> [outDir]")
-    val Array(table, packPath, idColsArg) = args.take(3)
-    val outDir = args.lift(3)
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    require(positional.length >= 3, "usage: ValidateCli <table.parquet> <rulepack.json> <idCols> [outDir] [--direction=request|response]")
+    val Array(table, packPath, idColsArg) = positional.take(3)
+    val outDir = positional.lift(3)
     val idCols = idColsArg.split(",").toSeq
+    val direction = flags.collectFirst {
+      case f if f.startsWith("--direction=") => f.stripPrefix("--direction=") match {
+        case "request"  => graft.core.Rule.Request
+        case "response" => graft.core.Rule.Response
+        case other      => throw new IllegalArgumentException(s"unknown direction: $other")
+      }
+    }.getOrElse(graft.core.Rule.Both)
 
     val spark = graft.GraftSession.get(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-validate")
 
@@ -26,7 +37,8 @@ object ValidateCli {
     val rule = RulePack.parseAny(packText)
     val df = spark.read.parquet(table)
 
-    val violations = Violations.sorted(Violations.validate(df, rule, idCols), idCols)
+    val ctx = RuleCompiler.Ctx(direction = direction)
+    val violations = Violations.sorted(Violations.validate(df, rule, idCols, ctx), idCols)
     val verdicts = Violations.verdictByPartition(df, rule, None)
 
     outDir match {
