@@ -78,14 +78,13 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val scores = langScores(text)
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // fixed precedence: first language reaching the max wins; all-zero → und
-    scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
-      when(s === best && s > 0 && acc === "und", lit(l)).otherwise(acc)
+    // when-chain in precedence order: the FIRST language reaching the max
+    // wins, all-zero → und (a fold with an acc === "und" guard builds a
+    // trivially-true predicate on its first step — Spark warns on it)
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
     }
   }
-
-  // langId with deterministic first-match-wins: fold above checks acc==="und"
-  // so earlier entries take precedence; zh only wins if others are 0.
 
   /** Canonical document fingerprint: md5 of the whitespace-normalized
     * lower-cased text — the cheap exact-dedup key (Spark md5 == DuckDB md5). */
