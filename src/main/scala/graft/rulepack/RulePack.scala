@@ -137,7 +137,15 @@ object RulePack {
   /** Keywords whose contents are instances, not schemas. */
   private val dataKeys = Set("enum", "const", "default", "examples")
 
-  def fromJson(root: JValue, store: Store = Store()): Rule = {
+  def fromJson(root: JValue, store: Store = Store()): Rule =
+    fromPointer(root, "", store)
+
+  /** Build the rule at JSON pointer `frag` of `root` while `$ref`s keep
+    * resolving against the WHOLE document — the OpenAPI component shape:
+    * `fromPointer(spec, "/components/schemas/Pet")` compiles one component
+    * whose refs reach its siblings (reference `Schema.pm:260-326 get` +
+    * resolve-before-validate contract). */
+  def fromPointer(root: JValue, frag: String, store: Store = Store()): Rule = {
     // root id validation + entry base (reference Schema.pm id contract:
     // t/id-keyword-draft4.t "Fragment not allowed"/"Relative URL not
     // allowed")
@@ -373,7 +381,9 @@ object RulePack {
       modal(Rule.all(rules.result()))
     }
 
-    build(root, Set.empty, entryBase)
+    val start = pointer(root, frag)
+      .getOrElse(throw new IllegalArgumentException(s"no schema at pointer: $frag"))
+    build(start, Set.empty, entryBase)
   }
 
   /** Rule-pack linting — the analog of the reference validating a schema
