@@ -3,7 +3,7 @@ package graft
 import graft.core.{Rule, Violations}
 import graft.core.Rule._
 import graft.global.{Referential, Uniqueness}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.stats.{ColumnStats, Drift}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -332,6 +332,24 @@ object SparkEntry {
       Dedup.connectedComponents(pairs)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    "p11_split_stats" -> ((s, dir) =>
+      // deterministic train/val/test assignment: per-(split, lang) counts —
+      // reproducible across engines, runs and corpus growth
+      t(s, dir, "documents")
+        .withColumn("split", Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")),
+
+    "p12_contamination" -> ((s, dir) => {
+      // decontamination: docs ≥ 20 checked against the 'benchmark' docs < 20
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationPairs(
+          docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20),
+          "doc_id", "text", k = 3, minCommon = 5)
+        .orderBy("train_id", "bench_id")
     }),
 
     "s01_ann_bruteforce" -> ((s, dir) => {
@@ -773,6 +791,26 @@ object SparkEntry {
          |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
          |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
     },
+
+    "p11_split_stats" ->
+      """WITH u AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5('split0:' || doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS uh
+        | FROM documents)
+        |SELECT CASE WHEN uh < 0.8 THEN 'train' WHEN uh < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |       lang, count(*) AS n
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p12_contamination" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(ws) - 2, 0) + 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM w),
+        |tr AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id >= 20),
+        |be AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id < 20)
+        |SELECT train_id, bench_id, count(*) AS n_common
+        |FROM tr JOIN be USING (s)
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY train_id, bench_id""".stripMargin,
 
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

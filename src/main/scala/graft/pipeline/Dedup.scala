@@ -179,6 +179,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: training documents sharing ≥ `minCommon`
+    * distinct k-shingles with any benchmark document — the overlap check a
+    * training pipeline runs against eval sets before training. Same
+    * inverted-index shape as [[jaccardPairs]] but ACROSS corpora: the join
+    * key is the shingle, so cost ∝ Σ |train posting| · |bench posting| —
+    * bench sets are small, so posting products stay tiny. Output
+    * `(train_id, bench_id, n_common)`. */
+  def contaminationPairs(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, k: Int, minCommon: Long): DataFrame = {
+    val st = shingles(train, idCol, textCol, k).withColumnRenamed("id", "train_id")
+    val sb = shingles(bench, idCol, textCol, k).withColumnRenamed("id", "bench_id")
+    st.join(sb, Seq("shingle"))
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+  }
+
   /** Connected components over candidate pairs — turns near-duplicate PAIRS
     * into duplicate GROUPS (component id = min doc id in the group, the
     * canonical "keeper"). Iterative min-label propagation: each round every

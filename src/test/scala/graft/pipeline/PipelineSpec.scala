@@ -188,6 +188,37 @@ class PipelineSpec extends SparkSuite {
       sortedRows(Similarity.lshCandidatePairs(e11, "vec_id", "embedding", 3, 6, dims = Some(64))))
   }
 
+  test("deterministic splits: stable assignment, monotone sampling, stratified rates") {
+    val withSplit = docs.withColumn("split",
+      Sampling.splitLabel(col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    // same row → same split, always (rerun gives identical assignment)
+    val a = withSplit.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = docs.repartition(7).withColumn("split",
+        Sampling.splitLabel(col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+    // fractions roughly honored on 500 docs
+    val counts = withSplit.groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > 350 && counts("val") > 20 && counts("test") > 20)
+    // hash-threshold sampling is monotone in rate: sample(0.2) ⊆ sample(0.5)
+    val s02 = Sampling.sample(docs, "doc_id", 0.2).select("doc_id").collect().map(_.getLong(0)).toSet
+    val s05 = Sampling.sample(docs, "doc_id", 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s02.subsetOf(s05))
+    // stratified: zero-rate stratum vanishes, others keep the default
+    val strat = Sampling.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 0.0))
+    assert(strat.where(col("lang") === "en").count() === 0)
+    assert(strat.count() === docs.where(col("lang") =!= "en").count())
+  }
+
+  test("contamination pairs: duplicated benchmark text is flagged, clean text is not") {
+    val bench = docs.where(col("doc_id") < 5).select("doc_id", "text")
+    val train = docs.where(col("doc_id") >= 5).select("doc_id", "text")
+      .unionByName(bench.select((col("doc_id") + 5000).as("doc_id"), col("text"))) // contaminated copies
+    val hits = Dedup.contaminationPairs(train, bench, "doc_id", "text", k = 3, minCommon = 5)
+    // every injected copy is caught against its source
+    assert(hits.where(col("train_id") === col("bench_id") + 5000).count() === 5)
+  }
+
   test("multimodal: frame sampling keeps every stride-th frame") {
     import spark.implicits._
     val media = Multimodal.fromText(docs.limit(5), "doc_id", "text")
