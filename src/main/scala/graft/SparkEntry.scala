@@ -352,6 +352,23 @@ object SparkEntry {
         .orderBy("train_id", "bench_id")
     }),
 
+    "p13_pii_redaction" -> ((s, dir) => {
+      import s.implicits._
+      // PII-bearing fixtures ride along with the corpus so the scrub is
+      // demonstrably end-to-end (the synthetic docs are PII-free)
+      val fixtures = Seq(
+        (900001L, "contact me at alice@example.com or bob.smith+spam@mail.co.uk thanks"),
+        (900002L, "server at 10.0.0.1 and 192.168.1.254 responded"),
+        (900003L, "call +1 555 123 4567 today"),
+        (900004L, "clean text, nothing to redact"))
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixtures.toDF("doc_id", "text"))
+      corpus.select(Seq(col("doc_id")) ++ TextAnalysis.piiCounts(col("text")) :+
+          TextAnalysis.redactPii(col("text")).as("redacted"): _*)
+        .where(col("n_email") + col("n_ipv4") + col("n_phone") > 0)
+        .orderBy("doc_id")
+    }),
+
     "s01_ann_bruteforce" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 8).select(col("vec_id").as("query_id"),
@@ -811,6 +828,25 @@ object SparkEntry {
         |FROM tr JOIN be USING (s)
         |GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY train_id, bench_id""".stripMargin,
+
+    "p13_pii_redaction" -> {
+      import graft.pipeline.TextAnalysis.{EmailRe, Ipv4Re, PhoneRe}
+      s"""WITH all_docs AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL SELECT * FROM (VALUES
+         |  (900001, 'contact me at alice@example.com or bob.smith+spam@mail.co.uk thanks'),
+         |  (900002, 'server at 10.0.0.1 and 192.168.1.254 responded'),
+         |  (900003, 'call +1 555 123 4567 today'),
+         |  (900004, 'clean text, nothing to redact')) AS t(doc_id, text)),
+         |c AS (SELECT doc_id,
+         | len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_email,
+         | len(regexp_extract_all(text, '$Ipv4Re'))::BIGINT AS n_ipv4,
+         | len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phone,
+         | regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM all_docs)
+         |SELECT * FROM c WHERE n_email + n_ipv4 + n_phone > 0 ORDER BY doc_id""".stripMargin
+    },
 
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),

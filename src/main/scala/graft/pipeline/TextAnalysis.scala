@@ -90,4 +90,28 @@ object TextAnalysis {
     * lower-cased text — the cheap exact-dedup key (Spark md5 == DuckDB md5). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  // ---- PII detection / redaction --------------------------------------
+  // Regexes restricted to the Java∩RE2 dialect (no lookarounds/backrefs) so
+  // the DuckDB oracle evaluates them identically. Deliberately high-recall
+  // simple patterns — a corpus scrub prefers false positives over leaks.
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+\\d{1,2}[ -]\\d{3}[ -]\\d{3}[ -]\\d{4}"
+
+  /** Per-document PII hit counts `(n_email, n_ipv4, n_phone)`. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailRe)).cast("long").as("n_email"),
+    regexp_count(text, lit(Ipv4Re)).cast("long").as("n_ipv4"),
+    regexp_count(text, lit(PhoneRe)).cast("long").as("n_phone"))
+
+  /** Redact PII in place (fixed substitution order: email, ip, phone) —
+    * pure projection, rides the scan with zero shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

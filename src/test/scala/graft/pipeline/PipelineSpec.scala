@@ -219,6 +219,21 @@ class PipelineSpec extends SparkSuite {
     assert(hits.where(col("train_id") === col("bench_id") + 5000).count() === 5)
   }
 
+  test("PII: counts find emails/ips/phones, redaction strips them all") {
+    val df = Seq(
+      (1L, "mail alice@example.com from 10.0.0.1 then call +1 555 123 4567"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val out = df.select(Seq(col("doc_id")) ++ TextAnalysis.piiCounts(col("text")) :+
+      TextAnalysis.redactPii(col("text")).as("r"): _*).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 1 && out(0).getLong(2) === 1 && out(0).getLong(3) === 1)
+    assert(out(0).getString(4) === "mail <EMAIL> from <IP> then call <PHONE>")
+    assert(out(1).getString(4) === "no pii here")
+    // redacted text has zero remaining hits
+    val rehits = df.select(TextAnalysis.piiCounts(TextAnalysis.redactPii(col("text"))): _*)
+      .agg(sum(col("n_email") + col("n_ipv4") + col("n_phone"))).head().getLong(0)
+    assert(rehits === 0)
+  }
+
   test("multimodal: frame sampling keeps every stride-th frame") {
     import spark.implicits._
     val media = Multimodal.fromText(docs.limit(5), "doc_id", "text")
