@@ -33,11 +33,14 @@ object PipelineCli {
     val exactDeduped = withFp.join(keepers, Seq("fp", "doc_id"), "left_semi").drop("fp")
     val n1 = exactDeduped.count()
 
-    // 2. per-row quality + language gates (one projection, no shuffle)
+    // 2. per-row quality + language gates + PII scrub (one projection, no
+    // shuffle — gates evaluate on the ORIGINAL text, the kept text is
+    // redacted)
     val filtered = exactDeduped
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
       .where(col("quality") >= minQuality && col("predicted_lang") === lang)
+      .withColumn("text", TextAnalysis.redactPii(col("text")))
     val n2 = filtered.count()
 
     // 3. near-dup collapse: banded MinHash pairs → components → keep min id
