@@ -207,6 +207,13 @@ object SparkEntry {
       Drift.psi(first, second).select(round(col("psi"), 6).as("psi"))
     }),
 
+    "v13_drift_kl" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val first = Drift.histogram(li.where(col("l_shipdate") < lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
+      val second = Drift.histogram(li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
+      Drift.kl(first, second).select(round(col("kl"), 6).as("kl"))
+    }),
+
     "v09_format_battery" -> ((s, _) => {
       import s.implicits._
       val fixtures = Seq(
@@ -642,6 +649,20 @@ object SparkEntry {
         |       greatest(COALESCE(c.n, 0)::DOUBLE / (SELECT t FROM ct), 1e-6) AS q
         |      FROM r FULL OUTER JOIN c ON r.bin = c.bin)
         |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM j""".stripMargin,
+
+    "v13_drift_kl" ->
+      """WITH binned AS (
+        | SELECT CAST(least(greatest(floor((l_quantity - 1)/5.0), 0), 9) AS INT) AS bin,
+        |        l_shipdate < TIMESTAMP '1998-01-01' AS is_ref
+        | FROM lineitem WHERE l_quantity IS NOT NULL),
+        |r AS (SELECT bin, count(*) AS n FROM binned WHERE is_ref GROUP BY bin),
+        |c AS (SELECT bin, count(*) AS n FROM binned WHERE NOT is_ref GROUP BY bin),
+        |rt AS (SELECT sum(n) AS t FROM r), ct AS (SELECT sum(n) AS t FROM c),
+        |j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+        |       greatest(COALESCE(r.n, 0)::DOUBLE / (SELECT t FROM rt), 1e-6) AS p,
+        |       greatest(COALESCE(c.n, 0)::DOUBLE / (SELECT t FROM ct), 1e-6) AS q
+        |      FROM r FULL OUTER JOIN c ON r.bin = c.bin)
+        |SELECT round(sum(p * ln(p / q)), 6) AS kl FROM j""".stripMargin,
 
     "v09_format_battery" -> {
       // '' = escaped single quote inside the SQL string literal
