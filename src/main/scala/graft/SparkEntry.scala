@@ -350,6 +350,17 @@ object SparkEntry {
         .groupBy("split", "lang").agg(count(lit(1)).as("n"))
         .orderBy("split", "lang")),
 
+    "p14_token_budget" -> ((s, dir) =>
+      // training-run planning: token budget per (split, lang) — BPE-proxy
+      // token counts summed under the deterministic split assignment
+      t(s, dir, "documents")
+        .withColumn("split", Sampling.splitLabel(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCountBpe(col("text")).cast("long")).as("n_tokens"))
+        .orderBy("split", "lang")),
+
     "p12_contamination" -> ((s, dir) => {
       // decontamination: docs ≥ 20 checked against the 'benchmark' docs < 20
       val docs = t(s, dir, "documents")
@@ -836,6 +847,15 @@ object SparkEntry {
         | FROM documents)
         |SELECT CASE WHEN uh < 0.8 THEN 'train' WHEN uh < 0.9 THEN 'val' ELSE 'test' END AS split,
         |       lang, count(*) AS n
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p14_token_budget" ->
+      """WITH u AS (SELECT doc_id, lang,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]'))::BIGINT AS n_bpe,
+        |  ('0x' || substr(md5('split0:' || doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS uh
+        | FROM documents)
+        |SELECT CASE WHEN uh < 0.8 THEN 'train' WHEN uh < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |       lang, count(*) AS n_docs, sum(n_bpe) AS n_tokens
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "p12_contamination" ->
