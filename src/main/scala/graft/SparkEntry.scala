@@ -331,15 +331,15 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
-    "p10_dedup_groups" -> ((s, dir) => {
-      // pairs → GROUPS: connected components over the LSH candidate graph
-      // (component = min doc id = the canonical keeper)
-      val pairs = Dedup.minhashCandidatePairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleK = 3, numHashes = 16, bands = 8, family = Dedup.Md5Portable)
-      Dedup.connectedComponents(pairs)
+    "p10_dedup_groups" -> ((s, dir) =>
+      // LSH dedup GROUPS via bipartite min-label propagation — NO candidate
+      // pairs materialized (cost ∝ docs×bands, never Σ bucket²). The oracle
+      // still computes the pair graph + recursive closure: identical
+      // connectivity proves the algorithms agree.
+      Dedup.minhashComponents(t(s, dir, "documents"), "doc_id", "text",
+          shingleK = 3, numHashes = 16, bands = 8, family = Dedup.Md5Portable)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     "p11_split_stats" -> ((s, dir) =>
       // deterministic train/val/test assignment: per-(split, lang) counts —

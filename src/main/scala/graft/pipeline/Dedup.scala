@@ -232,6 +232,46 @@ object Dedup {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** MinHash dedup GROUPS without ever materializing candidate pairs:
+    * min-label propagation on the doc–bucket BIPARTITE graph. Each round is
+    * two partial-aggregated groupBys over the `(doc, bucket)` index (size =
+    * docs × bands), so a degenerate hot bucket costs |bucket| rows — the
+    * pair-based route pays |bucket|² before it can even start grouping.
+    * Connectivity is identical to [[connectedComponents]] over
+    * [[minhashCandidatePairs]] (docs are connected iff they share a
+    * bucket), so the two agree exactly; this is the form that survives
+    * 10⁹-doc corpora. Output `(id, component)` restricted to groups of ≥ 2
+    * (the pair graph's node set). */
+  def minhashComponents(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      family: HashFamily = XxFast, maxIter: Int = 20): DataFrame = {
+    val signed = minhashSignatures(df, idCol, textCol, shingleK, numHashes, family)
+      .select(col("id") +: bandKeys(numHashes, bands): _*)
+    val index = signed.select(col("id"),
+        explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("bucket"))
+      .localCheckpoint()
+    var labels = index.select("id").distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val bucketMin = index.join(labels, "id")
+        .groupBy("bucket").agg(min("label").as("bmin"))
+      val docMin = index.join(bucketMin, "bucket")
+        .groupBy("id").agg(min("bmin").as("nmin"))
+      val updated = labels.join(docMin, Seq("id"))
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), col("nmin")).as("label"))
+        .localCheckpoint()
+      changed = updated.where(col("label") =!= col("old")).count()
+      labels = updated.select("id", "label")
+      iter += 1
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("__n"))
+    labels.join(sizes.where(col("__n") >= 2), Seq("label"))
+      .select(col("id"), col("label").as("component"))
+  }
+
   /** 32-bit SimHash over whitespace tokens: bit b of the fingerprint is the
     * sign of Σ_tokens (2·bit_b(h(token)) − 1). Hamming-near fingerprints =
     * near-duplicate documents. Pure per-row expression. */

@@ -130,6 +130,18 @@ class PipelineSpec extends SparkSuite {
     assert(cc === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("bipartite minhash components agree exactly with pairs → connected components") {
+    val viaPairs = Dedup.connectedComponents(
+        Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 16, bands = 8, family = Dedup.Md5Portable))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val bipartite = Dedup.minhashComponents(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 8, family = Dedup.Md5Portable)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(bipartite === viaPairs)
+    assert(bipartite.nonEmpty)
+  }
+
   test("IVF: a duplicated vector is found at rank 1 through its probed cell") {
     val base = emb001.select(col("vec_id"), col("embedding"))
     val dup = base.where(col("vec_id") === 0)
