@@ -39,7 +39,7 @@ object ValidateCli {
 
     val ctx = RuleCompiler.Ctx(direction = direction)
     val violations = Violations.sorted(Violations.validate(df, rule, idCols, ctx), idCols)
-    val verdicts = Violations.verdictByPartition(df, rule, None)
+    val verdicts = Violations.verdictByPartition(df, rule, None, ctx)
 
     outDir match {
       case Some(dir) =>
