@@ -224,6 +224,8 @@ object Similarity {
       .select(col("id"), col("vec"), col("nrm"), col("cid"),
         (dot(col("vec"), col("cvec")) / nullif(col("nrm") * col("cnrm"), lit(0.0))).as("aff"))
       .groupBy("id")
+      // first() here is deterministic: every row of a group carries the
+      // SAME vec/nrm (the fan-out only varies cid), so any pick is the pick
       .agg(first(col("vec")).as("vec"), first(col("nrm")).as("nrm"),
         max(struct(col("aff"), (-col("cid")).as("negcid"))).as("m"))
       .select(col("id"), col("vec"), col("nrm"), (-col("m.negcid")).as("cell"))
