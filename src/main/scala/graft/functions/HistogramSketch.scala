@@ -97,17 +97,20 @@ object HistogramSketch {
     case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
   }
 
+  /** Expression-list constructor shared by the per-session [[register]]
+    * and the application-wide [[graft.GraftExtensions]] injection. */
+  def fromExpressions(exprs: Seq[Expression]): HistogramSketch =
+    HistogramSketch(
+      exprs(0),
+      doubleOf(exprs(1), "lo"),
+      doubleOf(exprs(2), "hi"),
+      doubleOf(exprs(3), "bins").toInt)
+
   /** Register `histogram_sketch(col, lo, hi, bins)` for SQL and
     * `call_function` use in this session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "histogram_sketch",
-      exprs => HistogramSketch(
-        exprs(0),
-        doubleOf(exprs(1), "lo"),
-        doubleOf(exprs(2), "hi"),
-        doubleOf(exprs(3), "bins").toInt),
-      "built-in")
+      "histogram_sketch", fromExpressions, "built-in")
 
   /** Column form (requires [[register]] once per session). */
   def histogramSketch(c: Column, lo: Double, hi: Double, bins: Int): Column =

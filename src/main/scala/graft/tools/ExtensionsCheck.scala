@@ -1,0 +1,25 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Smoke check for the `--conf spark.sql.extensions=graft.GraftExtensions`
+  * launch path: the session must resolve `histogram_sketch` WITHOUT any
+  * driver-side registration. Run via:
+  * {{{
+  *   tools/submit.sh graft.tools.ExtensionsCheck 4
+  * }}}
+  * (submit.sh passes the extensions conf; prints EXTOK + the histogram.)
+  */
+object ExtensionsCheck {
+  def main(args: Array[String]): Unit = {
+    // deliberately NOT GraftSession: prove the conf alone wires the function
+    val spark = SparkSession.builder().appName("graft-ext-check").getOrCreate()
+    spark.range(100).createOrReplaceTempView("nums")
+    val counts = spark.sql(
+      "SELECT histogram_sketch(CAST(id AS DOUBLE), 0, 100, 4) AS h FROM nums")
+      .head().getSeq[Long](0)
+    require(counts.sum == 100L && counts.forall(_ == 25L), s"bad sketch: $counts")
+    println(s"EXTOK ${counts.mkString(",")}")
+    spark.stop()
+  }
+}

