@@ -31,7 +31,7 @@ object Violations {
         df.select(keep.toIndexedSeq.map(col): _*)
       case None => df
     }
-    val rowCol = struct(pruned.columns.map(col): _*)
+    val rowCol = struct(pruned.columns.toIndexedSeq.map(col): _*)
     val errs = RuleCompiler.compile(rule, pruned.schema, rowCol, lit(""), ctx)
     explodeErrors(pruned, errs, idCols)
   }
@@ -71,7 +71,7 @@ object Violations {
     * single shuffle of the tiny per-partition counters. */
   def verdictByPartition(df: DataFrame, rule: Rule, partitionCol: Option[String],
       ctx: RuleCompiler.Ctx = RuleCompiler.Ctx()): DataFrame = {
-    val rowCol = struct(df.columns.map(col): _*)
+    val rowCol = struct(df.columns.toIndexedSeq.map(col): _*)
     val errs = RuleCompiler.compile(rule, df.schema, rowCol, lit(""), ctx)
     val part = partitionCol.map(col).getOrElse(spark_partition_id().cast("long").as("pid"))
     df.select(part.as("partition"), (size(errs) > 0).as("failed"))

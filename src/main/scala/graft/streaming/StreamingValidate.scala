@@ -21,7 +21,7 @@ object StreamingValidate {
     * Append-mode safe (no aggregation). */
   def violations(stream: DataFrame, rule: Rule, idCols: Seq[String],
       ctx: RuleCompiler.Ctx = RuleCompiler.Ctx()): DataFrame = {
-    val rowCol = struct(stream.columns.map(col): _*)
+    val rowCol = struct(stream.columns.toIndexedSeq.map(col): _*)
     val errs = RuleCompiler.compile(rule, stream.schema, rowCol, lit(""), ctx)
     val keep = idCols.map(col)
     stream.select(keep :+ errs.as("_errs"): _*)
@@ -85,7 +85,7 @@ object StreamingValidate {
   def windowedVerdicts(stream: DataFrame, rule: Rule, tsCol: String,
       windowDuration: String, watermark: String,
       ctx: RuleCompiler.Ctx = RuleCompiler.Ctx()): DataFrame = {
-    val rowCol = struct(stream.columns.map(col): _*)
+    val rowCol = struct(stream.columns.toIndexedSeq.map(col): _*)
     val errs = RuleCompiler.compile(rule, stream.schema, rowCol, lit(""), ctx)
     stream
       .withColumn("__failed", (size(errs) > 0).cast("long"))
