@@ -117,6 +117,50 @@ class ReferenceParitySpec extends SparkSuite {
     check(Seq("a♫b").toDF("value"), """{"pattern":"^a.b$"}""", Seq())
   }
 
+  // ---- nested combinator prefixes through $refs (t/issue-103-one-of.t) ----
+  test("oneOf/allOf prefix composition matches the reference exactly (issue-103)") {
+    val schema =
+      """{"oneOf": [
+        |  {"$ref": "#/definitions/template_1"},
+        |  {"$ref": "#/definitions/bar_header"},
+        |  {"type": "string"}],
+        | "definitions": {
+        |  "hwho": {"required": ["who_id"],
+        |           "properties": {"who_id": {"type": "string"}, "sub_who_id": {"type": "string"}}},
+        |  "header": {"required": ["sym", "expire"],
+        |             "properties": {"sym": {"type": "string"}, "expire": {"type": "string"}}},
+        |  "foo_header": {"allOf": [
+        |    {"$ref": "#/definitions/header"},
+        |    {"required": ["amount", "desc"],
+        |     "properties": {"amount": {"type": "integer"}, "desc": {"enum": ["foo"]}}}]},
+        |  "template_1": {"allOf": [
+        |    {"$ref": "#/definitions/foo_header"},
+        |    {"$ref": "#/definitions/hwho"},
+        |    {"required": ["template"], "properties": {"template": {"type": "string"}}}]},
+        |  "bar_header": {"allOf": [
+        |    {"$ref": "#/definitions/header"},
+        |    {"required": ["amount", "desc"],
+        |     "properties": {"amount": {"type": "integer"}, "desc": {"enum": ["foo"]}}}]}}}""".stripMargin
+    val rule = RulePack.parse(schema)
+
+    // sym and template absent → the reference's four errors, message-exact
+    val partial = Seq(("WHO", "2018-01-01", 1000, "foo")).toDF("who_id", "expire", "amount", "desc")
+    val errs = Violations.sorted(Violations.validate(partial, rule, Seq()), Seq())
+      .select("path", "message").as[(String, String)].collect().toSet
+    assert(errs === Set(
+      "/" -> "/oneOf/2 Expected string - got object.",
+      "/sym" -> "/oneOf/0/allOf/0/allOf/0 Missing property.",
+      "/sym" -> "/oneOf/1/allOf/0 Missing property.",
+      "/template" -> "/oneOf/0/allOf/2 Missing property."))
+
+    // everything present → branches 0 AND 1 both match
+    val full = Seq(("a", "b", 1, "foo", "c", "d"))
+      .toDF("sym", "expire", "amount", "desc", "who_id", "template")
+    val errs2 = Violations.validate(full, rule, Seq())
+      .select("path", "message").as[(String, String)].collect().toSeq
+    assert(errs2 === Seq("/" -> "oneOf rules 0, 1 match."))
+  }
+
   // ---- determinism across partitionings (t/predictable-errors.t) ----
   test("violation order is stable across input partitionings") {
     val rows = (1 to 500).map(i => (i.toLong, s"v$i", i % 97))
