@@ -34,11 +34,16 @@ class PlanAuditSpec extends SparkSuite {
 
   test("bucketed similarity/dedup paths never plan a cartesian product") {
     for (q <- Seq("s02_ann_lsh", "s03_embedding_neardup", "p06_ngram_jaccard",
-        "p08_minhash_candidates")) {
+        "p08_minhash_candidates", "p12_contamination")) {
       val plan = planString(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
     }
+    // s04 (IVF) deliberately fans out N×nlist against the BROADCAST
+    // centroid set — a bounded nested-loop (nlist rows), not a hidden
+    // cartesian; assert only that no unbroadcast cartesian sneaks in
+    assert(!planString(SparkEntry.queries("s04_ann_ivf")(spark, dir))
+      .contains("CartesianProduct"))
   }
 
   test("q03 no longer hardcodes a broadcast of the growing customer table") {
