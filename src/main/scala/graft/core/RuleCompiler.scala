@@ -265,71 +265,124 @@ object RuleCompiler {
         concat(containsErr, maxErr)
       }
 
-      case Properties(props) => structRule(dt, target) { st =>
+      case Properties(props) => dt match {
         // relational mapping: NULL field = absent key, so a property sub-rule
         // is skipped on null (the reference skips rules for missing keys,
         // Draft4.pm:191-195) and `required` owns the null check.
-        val subErrs = props.flatMap { case (name, sub) =>
-          st.fields.find(_.name == name).map { f =>
-            val fieldCol = target.getField(name)
-            when(fieldCol.isNull, noErrors).otherwise(
-              compile(sub, f.dataType, fieldCol, concat(path, lit(s"/$name")), ctx))
-          } // missing column: `required` reports it; properties on absent key pass
-        }
-        if (subErrs.isEmpty) noErrors
-        else when(target.isNull, noErrors).otherwise(concat(subErrs: _*))
-      }
-
-      case PatternProperties(props) => structRule(dt, target) { st =>
-        val subErrs = for {
-          (regex, sub) <- props
-          f <- st.fields if java.util.regex.Pattern.compile(regex).matcher(f.name).find()
-        } yield {
-          val fieldCol = target.getField(f.name)
-          when(fieldCol.isNull, noErrors).otherwise(
-            compile(sub, f.dataType, fieldCol, concat(path, lit(s"/${f.name}")), ctx))
-        }
-        if (subErrs.isEmpty) noErrors
-        else when(target.isNull, noErrors).otherwise(concat(subErrs: _*))
-      }
-
-      case Required(fields) => structRule(dt, target) { st =>
-        val errs = fields.map { name =>
-          st.fields.find(_.name == name) match {
-            case Some(_) =>
-              // relational mapping: NULL = absent (documented divergence from
-              // pure key-presence semantics; see SURVEY.md §2.2 `required`)
-              when(target.isNull || target.getField(name).isNotNull, noErrors)
-                .otherwise(one(mkErr(concat(path, lit(s"/$name")), "required", lit("object"),
-                  lit(Messages.render("object.required")), lit("null"))))
-            case None =>
-              when(target.isNull, noErrors).otherwise(
-                one(mkErr(concat(path, lit(s"/$name")), "required", lit("object"),
-                  lit(Messages.render("object.required")), lit("null"))))
+        case st: StructType =>
+          val subErrs = props.flatMap { case (name, sub) =>
+            st.fields.find(_.name == name).map { f =>
+              val fieldCol = target.getField(name)
+              when(fieldCol.isNull, noErrors).otherwise(
+                compile(sub, f.dataType, fieldCol, concat(path, lit(s"/$name")), ctx))
+            } // missing column: `required` reports it; properties on absent key pass
           }
-        }
-        concat(errs: _*)
+          if (subErrs.isEmpty) noErrors
+          else when(target.isNull, noErrors).otherwise(concat(subErrs: _*))
+        // dynamic objects (from_json to map<string,…>): keys are runtime
+        // values — the reference's native hash regime (Draft4.pm:191-195)
+        case MapType(_: StringType, vt, _) =>
+          val subErrs = props.map { case (name, sub) =>
+            val v = try_element_at(target, lit(name))
+            when(v.isNull, noErrors).otherwise(
+              compile(sub, vt, v, concat(path, lit(s"/$name")), ctx))
+          }
+          if (subErrs.isEmpty) noErrors
+          else when(target.isNull, noErrors).otherwise(concat(subErrs: _*))
+        case _ => noErrors
       }
 
-      case ClosedWorld(allowed, patterns, sub) => structRule(dt, target) { st =>
-        val compiled = patterns.map(java.util.regex.Pattern.compile)
-        val extras = st.fields.filterNot(f =>
-          allowed.contains(f.name) || compiled.exists(_.matcher(f.name).find()))
-        sub match {
-          case None if extras.nonEmpty =>
-            // static closed-world failure: every (non-null) row errs
-            // (Schema.pm:762-770 lists the extras sorted)
-            val names = extras.map(_.name).sorted.mkString(", ")
-            when(target.isNull, noErrors).otherwise(
-              one(mkErr(path, "additionalProperties", lit("object"),
-                lit(Messages.render("object.additionalProperties", names)), observedOf(target, dt))))
-          case None => noErrors
-          case Some(r) =>
-            val errs = extras.map(f =>
-              compile(r, f.dataType, target.getField(f.name), concat(path, lit(s"/${f.name}")), ctx))
-            if (errs.isEmpty) noErrors
-            else when(target.isNull, noErrors).otherwise(concat(errs.toSeq: _*))
-        }
+      case PatternProperties(props) => dt match {
+        case st: StructType =>
+          val subErrs = for {
+            (regex, sub) <- props
+            f <- st.fields if java.util.regex.Pattern.compile(regex).matcher(f.name).find()
+          } yield {
+            val fieldCol = target.getField(f.name)
+            when(fieldCol.isNull, noErrors).otherwise(
+              compile(sub, f.dataType, fieldCol, concat(path, lit(s"/${f.name}")), ctx))
+          }
+          if (subErrs.isEmpty) noErrors
+          else when(target.isNull, noErrors).otherwise(concat(subErrs: _*))
+        case MapType(_: StringType, vt, _) =>
+          // runtime key match: every key matching the regex applies the rule
+          // to its value (rlike = partial match, like the reference)
+          val subErrs = props.map { case (regex, sub) =>
+            flatten(transform(
+              filter(map_keys(target), k => k.rlike(regex)),
+              k => compile(sub, vt, try_element_at(target, k), concat(path, lit("/"), k), ctx)))
+          }
+          if (subErrs.isEmpty) noErrors
+          else when(target.isNull, noErrors).otherwise(concat(subErrs: _*))
+        case _ => noErrors
+      }
+
+      case Required(fields) => dt match {
+        case st: StructType =>
+          val errs = fields.map { name =>
+            st.fields.find(_.name == name) match {
+              case Some(_) =>
+                // relational mapping: NULL = absent (documented divergence from
+                // pure key-presence semantics; see SURVEY.md §2.2 `required`)
+                when(target.isNull || target.getField(name).isNotNull, noErrors)
+                  .otherwise(one(mkErr(concat(path, lit(s"/$name")), "required", lit("object"),
+                    lit(Messages.render("object.required")), lit("null"))))
+              case None =>
+                when(target.isNull, noErrors).otherwise(
+                  one(mkErr(concat(path, lit(s"/$name")), "required", lit("object"),
+                    lit(Messages.render("object.required")), lit("null"))))
+            }
+          }
+          concat(errs: _*)
+        case MapType(_: StringType, _, _) =>
+          val errs = fields.map { name =>
+            when(target.isNull || try_element_at(target, lit(name)).isNotNull, noErrors)
+              .otherwise(one(mkErr(concat(path, lit(s"/$name")), "required", lit("object"),
+                lit(Messages.render("object.required")), lit("null"))))
+          }
+          concat(errs: _*)
+        case _ => noErrors
+      }
+
+      case ClosedWorld(allowed, patterns, sub) => dt match {
+        case st: StructType =>
+          val compiled = patterns.map(java.util.regex.Pattern.compile)
+          val extras = st.fields.filterNot(f =>
+            allowed.contains(f.name) || compiled.exists(_.matcher(f.name).find()))
+          sub match {
+            case None if extras.nonEmpty =>
+              // static closed-world failure: every (non-null) row errs
+              // (Schema.pm:762-770 lists the extras sorted)
+              val names = extras.map(_.name).sorted.mkString(", ")
+              when(target.isNull, noErrors).otherwise(
+                one(mkErr(path, "additionalProperties", lit("object"),
+                  lit(Messages.render("object.additionalProperties", names)), observedOf(target, dt))))
+            case None => noErrors
+            case Some(r) =>
+              val errs = extras.map(f =>
+                compile(r, f.dataType, target.getField(f.name), concat(path, lit(s"/${f.name}")), ctx))
+              if (errs.isEmpty) noErrors
+              else when(target.isNull, noErrors).otherwise(concat(errs.toSeq: _*))
+          }
+        case MapType(_: StringType, vt, _) =>
+          // dynamic keys: the extras set is computed per row
+          val isExtra = (k: Column) =>
+            !allowed.map(lit(_): Column).foldLeft(lit(false))((acc, a) => acc || k === a) &&
+              !patterns.foldLeft(lit(false))((acc, re) => acc || k.rlike(re))
+          val extras = filter(map_keys(target), isExtra)
+          sub match {
+            case None =>
+              when(target.isNull || size(extras) === 0, noErrors).otherwise(
+                one(mkErr(path, "additionalProperties", lit("object"),
+                  concat(lit("Properties not allowed: "),
+                    array_join(array_sort(extras), ", "), lit(".")),
+                  observedOf(target, dt))))
+            case Some(r) =>
+              when(target.isNull, noErrors).otherwise(
+                flatten(transform(extras,
+                  k => compile(r, vt, try_element_at(target, k), concat(path, lit("/"), k), ctx))))
+          }
+        case _ => noErrors
       }
 
       case MinProperties(n) => objectCount(dt, target) { cnt =>
@@ -362,18 +415,27 @@ object RuleCompiler {
         case _ => noErrors
       }
 
-      case DependentRequired(deps) => structRule(dt, target) { st =>
-        val errs = for {
-          (dependee, dependents) <- deps if st.fieldNames.contains(dependee)
-          dep <- dependents
-        } yield {
-          val present = st.fieldNames.contains(dep)
-          val depCol = if (present) target.getField(dep).isNotNull else lit(false)
-          when(target.isNull || target.getField(dependee).isNull || depCol, noErrors)
-            .otherwise(one(mkErr(concat(path, lit(s"/$dep")), "dependencies", lit("object"),
-              lit(Messages.render("object.dependencies", dependee)), lit("null"))))
-        }
-        if (errs.isEmpty) noErrors else concat(errs: _*)
+      case DependentRequired(deps) => dt match {
+        case st: StructType =>
+          val errs = for {
+            (dependee, dependents) <- deps if st.fieldNames.contains(dependee)
+            dep <- dependents
+          } yield {
+            val present = st.fieldNames.contains(dep)
+            val depCol = if (present) target.getField(dep).isNotNull else lit(false)
+            when(target.isNull || target.getField(dependee).isNull || depCol, noErrors)
+              .otherwise(one(mkErr(concat(path, lit(s"/$dep")), "dependencies", lit("object"),
+                lit(Messages.render("object.dependencies", dependee)), lit("null"))))
+          }
+          if (errs.isEmpty) noErrors else concat(errs: _*)
+        case MapType(_: StringType, _, _) =>
+          val errs = for ((dependee, dependents) <- deps; dep <- dependents) yield
+            when(target.isNull || try_element_at(target, lit(dependee)).isNull ||
+                try_element_at(target, lit(dep)).isNotNull, noErrors)
+              .otherwise(one(mkErr(concat(path, lit(s"/$dep")), "dependencies", lit("object"),
+                lit(Messages.render("object.dependencies", dependee)), lit("null"))))
+          if (errs.isEmpty) noErrors else concat(errs: _*)
+        case _ => noErrors
       }
 
       case DependentSchemas(deps) => structRule(dt, target) { st =>

@@ -267,4 +267,28 @@ class RuleCompilerSpec extends SparkSuite {
     // length is char-based, not byte-based
     assert(checkCol(df, """{"maxLength":7}""").isEmpty)
   }
+
+  test("dynamic objects: object keywords over MapType columns (reference hash regime)") {
+    import org.apache.spark.sql.functions.{col, from_json}
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val df = Seq(
+        """{"a":"x","b":"5","extra":"y"}""",
+        """{"a":"x"}""",
+        """{"a":"x","b":"nope","xk":"1","xq":"zz"}""")
+      .toDF("j")
+      .select(from_json(col("j"), MapType(StringType, StringType)).as("value"))
+    val rule = All(Seq(
+      Properties(Seq("b" -> Pattern("^[0-9]+$"))),
+      PatternProperties(Seq("^x" -> Pattern("^[0-9]+$"))),
+      Required(Seq("a", "b")),
+      DependentRequired(Seq("b" -> Seq("a"))),
+      ClosedWorld(Seq("a", "b"), Seq("^x"), None)))
+    val got = Violations.validateColumn(df, rule, "value", Seq())
+      .select("path", "message").as[(String, String)].collect().toSeq.sorted
+    assert(got === Seq(
+      "/" -> "Properties not allowed: extra.",          // row 1 extra key
+      "/b" -> "Missing property.",                       // row 2
+      "/b" -> "String does not match ^[0-9]+$.",         // row 3 properties
+      "/xq" -> "String does not match ^[0-9]+$."))       // row 3 patternProperties (xk passes)
+  }
 }
