@@ -214,6 +214,19 @@ object SparkEntry {
       Drift.kl(first, second).select(round(col("kl"), 6).as("kl"))
     }),
 
+    "v14_map_rules" -> ((s, dir) => {
+      // the same nested-JSON rule as v11 but through the MAP path: dynamic
+      // keys via from_json to map<string,int> (the reference's hash regime)
+      val ev = t(s, dir, "events")
+        .withColumn("p", from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
+      val rule = All(Seq(Required(Seq("k")),
+        Properties(Seq("k" -> All(Seq(Minimum(10), Maximum(80)))))))
+      Violations.validateColumn(ev, rule, "p", Seq("event_id"))
+        .select("event_id", "path", "rule_id", "observed")
+        .orderBy("event_id", "path")
+    }),
+
     "v09_format_battery" -> ((s, _) => {
       import s.implicits._
       val fixtures = Seq(
@@ -660,6 +673,16 @@ object SparkEntry {
         |       greatest(COALESCE(c.n, 0)::DOUBLE / (SELECT t FROM ct), 1e-6) AS q
         |      FROM r FULL OUTER JOIN c ON r.bin = c.bin)
         |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi FROM j""".stripMargin,
+
+    "v14_map_rules" ->
+      """WITH parsed AS (
+        | SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k FROM events)
+        |SELECT * FROM (
+        | SELECT event_id, '/k' AS path, 'minimum' AS rule_id, CAST(k AS VARCHAR) AS observed
+        |  FROM parsed WHERE k < 10
+        | UNION ALL SELECT event_id, '/k', 'maximum', CAST(k AS VARCHAR)
+        |  FROM parsed WHERE k > 80
+        |) t ORDER BY event_id, path""".stripMargin,
 
     "v13_drift_kl" ->
       """WITH binned AS (
