@@ -878,7 +878,7 @@ object SparkEntry {
         |  ('0x' || substr(md5('split0:' || doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS uh
         | FROM documents)
         |SELECT CASE WHEN uh < 0.8 THEN 'train' WHEN uh < 0.9 THEN 'val' ELSE 'test' END AS split,
-        |       lang, count(*) AS n_docs, sum(n_bpe) AS n_tokens
+        |       lang, count(*) AS n_docs, sum(n_bpe)::BIGINT AS n_tokens
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "p12_contamination" ->
@@ -1003,7 +1003,7 @@ object SparkEntry {
         |  list_transform(embedding, x -> CAST(coalesce(round(x::DOUBLE / scale), 0) AS TINYINT)) AS qv
         |  FROM s)
         |SELECT vec_id, round(coalesce(scale, 0), 9) AS scale9,
-        | list_aggregate(list_transform(qv, v -> v::BIGINT), 'sum') AS qsum,
+        | list_aggregate(list_transform(qv, v -> v::BIGINT), 'sum')::BIGINT AS qsum,
         | list_min(qv)::BIGINT AS qmin, list_max(qv)::BIGINT AS qmax,
         | round(list_max(list_transform(range(1, len(embedding) + 1),
         |   i -> abs(embedding[i]::DOUBLE - qv[i]::DOUBLE * coalesce(scale, 0)))), 9) AS err9
