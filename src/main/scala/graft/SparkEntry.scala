@@ -273,7 +273,7 @@ object SparkEntry {
       // value arrives as a string; the strict JSON-number regex admits it
       // into a typed column, junk becomes NULL — non-mutating repair
       val ev = t(s, dir, "events")
-        .withColumn("k_str", regexp_extract(col("props"), "\"k\": (\\d+)", 1))
+        .withColumn("k_str", regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1))
       val coerced = core.Coerce(ev.select(col("event_id"), col("k_str").as("k_num")),
         Map("k_num" -> core.Coerce.ToNumber))
       coerced.groupBy((col("k_num") >= 50).as("k_ge_50"))
@@ -450,21 +450,28 @@ object SparkEntry {
     }),
 
     "s05_embedding_quantize" -> ((s, dir) => {
-      // int8 scalar quantization profile: per-vector scale, code stats and
-      // max reconstruction error (≤ scale/2 by construction). q is built
-      // once per row; the derived stats inline it (cheap per-row arrays)
+      // int8 scalar quantization profile, explode-agg shape: the quantize
+      // transform runs ONCE per element. (The per-row withColumn("q") form
+      // is re-inlined by CollapseProject into every derived stat — the
+      // array quantizes 4× per row; see the repo's measured pitfall list.)
+      // scale rides the Generate as a pass-through column, so the per-row
+      // fold runs once; the aggregation is partial (map-side combine), and
+      // the fixed-dim corpus means plain explode drops no vectors.
       val emb = t(s, dir, "embeddings")
-      emb.select(col("vec_id"), col("embedding"),
-          Similarity.sqScale(col("embedding")).as("scale"))
-        .withColumn("q", Similarity.sqQuantize(col("embedding"), col("scale")))
-        .select(
-          col("vec_id"),
-          round(coalesce(col("scale"), lit(0.0)), 9).as("scale9"),
-          aggregate(col("q"), lit(0L), (a, v) => a + v.cast("long")).as("qsum"),
-          array_min(col("q")).cast("long").as("qmin"),
-          array_max(col("q")).cast("long").as("qmax"),
-          round(array_max(zip_with(col("embedding"), col("q"),
-            (x, v) => abs(x.cast("double") - v.cast("double") * coalesce(col("scale"), lit(0.0))))), 9).as("err9"))
+      emb.select(col("vec_id"),
+          Similarity.sqScale(col("embedding")).as("scale"),
+          explode(col("embedding")).as("x"))
+        .select(col("vec_id"), col("scale"), col("x"),
+          coalesce(round(col("x").cast("double") / col("scale"), 0), lit(0.0))
+            .cast("tinyint").as("v"))
+        .groupBy("vec_id")
+        .agg(
+          round(coalesce(first(col("scale")), lit(0.0)), 9).as("scale9"),
+          sum(col("v").cast("long")).as("qsum"),
+          min(col("v")).cast("long").as("qmin"),
+          max(col("v")).cast("long").as("qmax"),
+          round(max(abs(col("x").cast("double")
+            - col("v").cast("double") * coalesce(col("scale"), lit(0.0)))), 9).as("err9"))
         .orderBy("vec_id")
     }),
 
@@ -676,7 +683,7 @@ object SparkEntry {
 
     "v14_map_rules" ->
       """WITH parsed AS (
-        | SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k FROM events)
+        | SELECT event_id, CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '') AS INTEGER) AS k FROM events)
         |SELECT * FROM (
         | SELECT event_id, '/k' AS path, 'minimum' AS rule_id, CAST(k AS VARCHAR) AS observed
         |  FROM parsed WHERE k < 10
@@ -730,7 +737,7 @@ object SparkEntry {
 
     "v11_nested_json" ->
       """WITH parsed AS (
-        | SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER) AS k FROM events)
+        | SELECT event_id, CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '') AS INTEGER) AS k FROM events)
         |SELECT * FROM (
         | SELECT event_id, '/k' AS path, 'minimum' AS rule_id, CAST(k AS VARCHAR) AS observed
         |  FROM parsed WHERE k < 10
@@ -741,9 +748,9 @@ object SparkEntry {
     "v12_coerce_numbers" ->
       """WITH coerced AS (
         | SELECT event_id,
-        |  CASE WHEN regexp_matches(regexp_extract(props, '"k": (\d+)', 1),
+        |  CASE WHEN regexp_matches(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1),
         |            '^-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?$')
-        |       THEN CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE) END AS k_num
+        |       THEN CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS DOUBLE) END AS k_num
         | FROM events)
         |SELECT k_num >= 50 AS k_ge_50, count(*) AS n,
         | round(sum(CAST(k_num AS DECIMAL(20,4))),2)::DOUBLE AS sum_k

@@ -109,15 +109,21 @@ object Rule {
     * request/response split). */
   final case class PresenceForbidden(direction: Direction, message: String) extends Rule
 
-  /** readOnly property: constraints apply to responses only; presence in a
-    * request is itself a violation (OpenAPIv3.pm:356-371). */
+  /** readOnly property: presence in a request is itself a violation, AND the
+    * property schema still validates in both directions — the reference's
+    * `_validate_type_object_request` pushes "Read-only." and then runs the
+    * normal properties pass over the same data (OpenAPIv3.pm:356-374), so a
+    * present-and-invalid readOnly property yields TWO errors in a request.
+    * Only `required` is direction-stripped (handled by the parser as
+    * `Modal(Required, Response)`). */
   def readOnly(rule: Rule): Rule =
-    all(Seq(Modal(rule, Response), PresenceForbidden(Request, "Read-only.")))
+    all(Seq(rule, PresenceForbidden(Request, "Read-only.")))
 
-  /** writeOnly property: constraints apply to requests only; presence in a
-    * response is itself a violation (OpenAPIv3.pm:377-392). */
+  /** writeOnly property: presence in a response is itself a violation; the
+    * property schema validates in both directions (OpenAPIv3.pm:376-396 —
+    * same shape as [[readOnly]]). */
   def writeOnly(rule: Rule): Rule =
-    all(Seq(Modal(rule, Request), PresenceForbidden(Response, "Write-only.")))
+    all(Seq(rule, PresenceForbidden(Response, "Write-only.")))
 
   /** OpenAPI-style discriminator (reference OpenAPIv2.pm:410-416,
     * OpenAPIv3.pm:340-349): the value of `field` selects which rule pack

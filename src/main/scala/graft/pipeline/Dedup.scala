@@ -91,9 +91,16 @@ object Dedup {
         df.select(col(idCol).as("id"), shingleArray(col(textCol), k).as("sh"))
           .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
       else {
-        val kept = shingles(df, idCol, textCol, k)
-          .join(broadcast(frequentShingles(df, idCol, textCol, k, maxDocFreq)
-            .select("shingle")), Seq("shingle"), "left_anti")
+        // ONE shingle explosion, materialized: the df counts and the kept
+        // posting rows both read the same checkpointed set. (Deriving the
+        // frequent set via a second shingles() call re-explodes — and
+        // re-tokenizes — the whole corpus; the explode is the expensive
+        // part at scale, and exchange reuse cannot dedup it because the
+        // anti-join's stream side has no exchange.)
+        val ex = shingles(df, idCol, textCol, k).localCheckpoint()
+        val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > maxDocFreq).select("shingle")
+        val kept = ex.join(broadcast(freq), Seq("shingle"), "left_anti")
         // set size must be recomputed over the SURVIVING shingles; the
         // window shuffles by id once (AQE-coalesced), then the self-join
         // re-shuffles by shingle as before
@@ -229,8 +236,20 @@ object Dedup {
       labels = updated.select("id", "label")
       iter += 1
     }
+    requireConverged(changed, iter, "connectedComponents")
     labels.withColumnRenamed("label", "component")
   }
+
+  /** A propagation loop that exits on `maxIter` with updates still flowing
+    * has NOT converged — the labels would silently split one duplicate
+    * group into several. Fail loudly instead: the caller either raises
+    * `maxIter` (rounds needed = graph diameter) or switches to the
+    * large-star/small-star variant for adversarial chain graphs. */
+  private def requireConverged(changed: Long, iter: Int, op: String): Unit =
+    require(changed == 0,
+      s"$op did not converge after $iter rounds ($changed labels still changing); " +
+        "raise maxIter (rounds needed = graph diameter) — returning partial labels would " +
+        "split duplicate groups silently")
 
   /** MinHash dedup GROUPS without ever materializing candidate pairs:
     * min-label propagation on the doc–bucket BIPARTITE graph. Each round is
@@ -267,6 +286,7 @@ object Dedup {
       labels = updated.select("id", "label")
       iter += 1
     }
+    requireConverged(changed, iter, "minhashComponents")
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("__n"))
     labels.join(sizes.where(col("__n") >= 2), Seq("label"))
       .select(col("id"), col("label").as("component"))

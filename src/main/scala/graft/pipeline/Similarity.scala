@@ -107,17 +107,25 @@ object Similarity {
   def lshSignature(vec: Column, bits: Int, planeOffset: Int = 0,
       dims: Option[Int] = None): Column = {
     val sigBits = (0 until bits).map { j =>
+      // dimension-agnostic md5 form: always correct, hashes per element
+      def slow = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(planeOffset + j, d)),
+        lit(0.0), (acc, v) => acc + v)
       val proj = dims match {
         case Some(n) =>
           val plane = (0 until n).map(d => planeValue(planeOffset + j, d))
-          aggregate(
-            zip_with(vec, typedLit(plane), (x, p) => x.cast("double") * p),
-            lit(0.0), (acc, v) => acc + v)
-        case None =>
-          aggregate(
-            zip_with(vec, sequence(lit(0), size(vec) - 1),
-              (x, d) => x.cast("double") * planeComponent(planeOffset + j, d)),
-            lit(0.0), (acc, v) => acc + v)
+          // zip_with null-pads when size(vec) != n, making the whole fold
+          // NULL and the sign bit 0 — every mis-sized vector would silently
+          // collapse into bucket 0 (an N² candidate bomb). Guard: vectors
+          // of the declared size take the precomputed plane; any other size
+          // falls back to the md5 expression (bit-identical values).
+          when(size(vec) === n,
+            aggregate(
+              zip_with(vec, typedLit(plane), (x, p) => x.cast("double") * p),
+              lit(0.0), (acc, v) => acc + v))
+            .otherwise(slow)
+        case None => slow
       }
       when(proj >= 0, lit(1L) * (1L << j)).otherwise(lit(0L))
     }

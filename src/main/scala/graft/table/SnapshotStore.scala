@@ -112,7 +112,12 @@ class SnapshotStore(root: String, spark: SparkSession) {
     * Crash-window note: partitions fully written by a crashed run whose
     * manifest commit never happened are rewritten (same bytes — dynamic
     * overwrite is idempotent) and then counted and committed here, so the
-    * count-back also heals a torn previous run. */
+    * count-back also heals a torn previous run — but ONLY for partitions
+    * this run's input actually contains: the count-back is intersected with
+    * the distinct partition values of `remainingDf` (a column-pruned,
+    * metadata-scale job), so stray directories under a shared root (a torn
+    * run of a different dataframe or another snapshot id) are never claimed
+    * as "committed by this run" and never marked completed. */
   def writeResumable(df: DataFrame, partCol: String, snapshotId: String): Map[String, Long] = {
     val prior = readManifest(snapshotId).getOrElse(SnapshotManifest(snapshotId, None, Map.empty))
     val done = prior.completed.keySet
@@ -120,6 +125,12 @@ class SnapshotStore(root: String, spark: SparkSession) {
     val remainingDf =
       if (done.isEmpty) df
       else df.where(!partKey(partCol).isInCollection(done))
+
+    // partitions this run's input actually carries — the only ones the
+    // count-back may credit to this run (partition column only: parquet
+    // reads one column's pages, nothing else)
+    val inputParts: Set[String] = remainingDf.select(partKey(partCol).as("__p"))
+      .distinct().collect().map(_.getString(0)).toSet
 
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -143,6 +154,7 @@ class SnapshotStore(root: String, spark: SparkSession) {
           else committed.where(!col("__p").isInCollection(done))
         fresh.groupBy("__p").agg(count(lit(1)).as("n"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          .filter { case (p, _) => inputParts.contains(p) }
       }
 
     if (counts.nonEmpty)

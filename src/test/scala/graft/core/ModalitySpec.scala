@@ -41,6 +41,21 @@ class ModalitySpec extends SparkSuite {
     assert(Violations.validate(present, rule, Seq()).count() === 0)
   }
 
+  test("present-and-invalid readOnly property yields BOTH errors in a request (OpenAPIv3.pm:363-374)") {
+    // the reference pushes "Read-only." and then still runs the normal
+    // properties pass — error-set parity requires 2 errors, not 1
+    val rule = Properties(Seq("id" -> Rule.readOnly(All(Seq(TypeIs(Seq("integer")), Maximum(5))))))
+    val invalid = Seq((Some(7), "x")).toDF("id", "name")
+    val reqErrs = Violations.validate(invalid, rule, Seq(), RuleCompiler.Ctx(direction = Request))
+      .select("path", "message").as[(String, String)].collect().toSeq.sorted
+    assert(reqErrs === Seq("/id" -> "7 > maximum(5)", "/id" -> "Read-only."))
+    // the schema also constrains responses (only `required` is
+    // direction-stripped, not the property schema)
+    val respErrs = Violations.validate(invalid, rule, Seq(), RuleCompiler.Ctx(direction = Response))
+      .select("message").as[String].collect().toSeq
+    assert(respErrs === Seq("7 > maximum(5)"))
+  }
+
   test("required strips readOnly props for requests, writeOnly for responses (OpenAPIv3.pm:367,388)") {
     val pack = graft.rulepack.RulePack.parse(
       """{"type":"object",

@@ -130,6 +130,36 @@ class PipelineSpec extends SparkSuite {
     assert(cc === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components FAIL LOUDLY when maxIter exits before convergence") {
+    // a 6-node path needs ~5 propagation rounds; maxIter=2 exits with labels
+    // still changing — returning them would silently split the group
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("lshSignature with mismatched dims falls back to the md5 path (no bucket-0 collapse)") {
+    // 3-dim vectors declared as dims=Some(64): zip_with would null-pad and
+    // zero every sign bit; the guard must route them through the md5 form
+    val vecs = Seq((1L, Seq(0.5f, -0.3f, 0.9f)), (2L, Seq(-1.0f, 0.2f, 0.1f)),
+      (3L, Seq(0.7f, 0.7f, -0.7f))).toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        Similarity.lshSignature(col("embedding"), bits = 6, dims = Some(64)).as("sig"))
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    val want = vecs.select(col("vec_id"),
+        Similarity.lshSignature(col("embedding"), bits = 6, dims = None).as("sig"))
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(got === want)
+    // and matching-dims vectors still take the precomputed-plane fast path
+    // with identical values (the guard's condition side)
+    val ok3 = vecs.select(col("vec_id"),
+        Similarity.lshSignature(col("embedding"), bits = 6, dims = Some(3)).as("sig"))
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(ok3 === want)
+  }
+
   test("bipartite minhash components agree exactly with pairs → connected components") {
     val viaPairs = Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(docs, "doc_id", "text",

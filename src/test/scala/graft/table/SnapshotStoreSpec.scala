@@ -65,6 +65,29 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(store.writeResumable(df, "bucket", "snap-c").isEmpty)
   }
 
+  test("writeResumable: stray partitions under a shared root are never claimed by this run") {
+    val root = Files.createTempDirectory("snap4").toString
+    val store = new SnapshotStore(root, spark)
+    val df = TokenGen.tokenSequences(spark, 3000, numPartitions = 3, maxLen = 8)
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(3)).cast("int"))
+
+    // run 1: only buckets 0 and 1 present
+    assert(store.writeResumable(df.where(col("bucket") < 2), "bucket", "snap-d").keySet === Set("0", "1"))
+
+    // a torn run of a DIFFERENT dataframe left bucket=9 under the same root
+    TokenGen.tokenSequences(spark, 100, numPartitions = 1, maxLen = 8)
+      .withColumn("bucket", lit(9))
+      .write.mode("append").partitionBy("bucket").parquet(store.dataPath)
+
+    // resume with the full input (buckets 0..2): only bucket 2 may be
+    // credited — the stray bucket 9 is not in this run's input
+    val resumed = store.writeResumable(df, "bucket", "snap-d")
+    assert(resumed.keySet === Set("2"))
+    val m = store.readManifest("snap-d").get
+    assert(m.completed.keySet === Set("0", "1", "2"))
+    assert(!m.completed.contains("9"))
+  }
+
   test("manifest json round-trips") {
     val m = SnapshotManifest("s1", Some("s0"), Map("a" -> 10L, "b" -> 20L))
     assert(SnapshotManifest.fromJson(m.toJson) === m)
