@@ -196,33 +196,59 @@ object RulePack {
         .getOrElse(throw new IllegalArgumentException(s"unresolvable \\$$ref: $uri (base '$base')"))
     }
 
-    def build(v: JValue, seen: Set[String], base: String): Rule = v match {
+    /** `seen` maps an active `$ref`/`$recursiveRef` expansion to the
+      * STRUCTURAL depth (levels of items/properties/contains descent — i.e.
+      * data depth consumed) at which it was entered. Re-entering the same
+      * ref at the same depth is a pure cycle (consumes no data, can never
+      * terminate) → reject, as before. Re-entering DEEPER is productive
+      * recursion (the 2019-09 `$recursiveRef` tree shape,
+      * reference Draft201909.pm:24-68 + t/draft2019-09.t:25-36): unroll it —
+      * a rule applies to a column whose static DataType has finite nesting,
+      * so expansions past [[MaxStructuralDepth]] can never see data and
+      * truncate to Always. (The reference follows refs lazily at runtime
+      * with a seen-memo, Schema.pm:372-376; bounded unrolling is the
+      * compile-time analog.) */
+    def build(v: JValue, seen: Map[String, Int], depth: Int, base: String): Rule = v match {
       case JBool(true)  => Always
       case JBool(false) => Never
-      case o: JObj      => buildObj(o, seen, base)
+      case o: JObj      => buildObj(o, seen, depth, base)
       case other => throw new IllegalArgumentException(s"schema must be object or boolean, got ${other.render}")
     }
 
-    def buildObj(o0: JObj, seen: Set[String], base0: String): Rule = {
+    def buildObj(o0: JObj, seen: Map[String, Int], depth: Int, base0: String): Rule = {
       // entering a subschema with its own (non-anchor) id rebases its refs
       val base = (o0.get("$id") orElse o0.get("id")).collect { case JStr(s) => s } match {
         case Some(s) if !s.startsWith("#") => stripFragment(joinUri(base0, s))
         case _                             => base0
       }
       val o = o0
-      def subRule(v: JValue, seen: Set[String]): Rule = build(v, seen, base)
+      // same-depth sub-schemas: combinators and keywords that apply to the
+      // SAME data value (no structural descent)
+      def subRule(v: JValue, seen: Map[String, Int]): Rule = build(v, seen, depth, base)
+      // one-level-deeper sub-schemas: items/properties/contains etc. descend
+      // into the data, consuming one level of the column type's nesting
+      def deepRule(v: JValue, seen: Map[String, Int]): Rule = build(v, seen, depth + 1, base)
 
-      // $ref: siblings are merged like the reference's _state ref-following
-      // (Schema.pm:353-364: `{%$schema, %$ref_target}` semantics)
-      o.get("$ref") match {
+      // $ref / $recursiveRef: siblings are merged like the reference's
+      // _state ref-following (Schema.pm:353-364, Draft201909.pm:49-68 —
+      // `$recursiveRef` is followed through the store exactly like `$ref`,
+      // resolved against the enclosing base: "#" lands on the nearest
+      // enclosing `$id` scope, t/draft2019-09.t:46-59 tree.json)
+      (o.get("$ref") orElse o.get("$recursiveRef")) match {
         case Some(JStr(uri)) =>
           val refKey = joinUri(base, uri)
-          if (seen.contains(refKey))
-            throw new IllegalArgumentException(s"recursive \\$$ref not supported in columnar rules: $uri")
+          seen.get(refKey) match {
+            case Some(d) if d == depth =>
+              throw new IllegalArgumentException(
+                s"recursive \\$$ref cycle without structural descent: $uri")
+            case Some(_) if depth >= MaxStructuralDepth =>
+              return Always // deeper than any static column type can nest
+            case _ =>
+          }
           val (target, targetBase) = resolveRef(uri, base)
-          val rest = JObj(o.fields.filterNot(_._1 == "$ref"))
-          val refRule = build(target, seen + refKey, targetBase)
-          val restRule = if (rest.fields.exists(f => !metaKeys(f._1))) buildObj(rest, seen, base) else Always
+          val rest = JObj(o.fields.filterNot(f => f._1 == "$ref" || f._1 == "$recursiveRef"))
+          val refRule = build(target, seen + (refKey -> depth), depth, targetBase)
+          val restRule = if (rest.fields.exists(f => !metaKeys(f._1))) buildObj(rest, seen, depth, base) else Always
           return Rule.all(Seq(refRule, restRule).filter(_ != Always)) match {
             case All(Seq()) => Always
             case r          => r
@@ -263,16 +289,16 @@ object RulePack {
         case JArr(schemas) =>
           val additional = o.get("additionalItems") match {
             case Some(JBool(false)) => None
-            case Some(s)            => Some(subRule(s, seen))
+            case Some(s)            => Some(deepRule(s, seen))
             case None               => Some(Always)
           }
-          rules += TupleItems(schemas.map(subRule(_, seen)), additional)
-        case s => rules += Items(subRule(s, seen))
+          rules += TupleItems(schemas.map(deepRule(_, seen)), additional)
+        case s => rules += Items(deepRule(s, seen))
       }
       o.get("contains").foreach { s =>
         val minC = o.get("minContains").flatMap(intOf)
         val maxC = o.get("maxContains").flatMap(intOf)
-        rules += Contains(subRule(s, seen), minC, maxC)
+        rules += Contains(deepRule(s, seen), minC, maxC)
       }
 
       val propNames = o.get("properties") match {
@@ -284,11 +310,11 @@ object RulePack {
         case _ => Vector.empty
       }
       o.get("properties").foreach {
-        case JObj(fields) => rules += Properties(fields.map { case (k, s) => k -> subRule(s, seen) })
+        case JObj(fields) => rules += Properties(fields.map { case (k, s) => k -> deepRule(s, seen) })
         case _ =>
       }
       o.get("patternProperties").foreach {
-        case JObj(fields) => rules += PatternProperties(fields.map { case (k, s) => k -> subRule(s, seen) })
+        case JObj(fields) => rules += PatternProperties(fields.map { case (k, s) => k -> deepRule(s, seen) })
         case _ =>
       }
       // required, modality-aware: the reference strips readOnly props from
@@ -315,9 +341,9 @@ object RulePack {
       o.get("additionalProperties").foreach {
         case JBool(false) => rules += ClosedWorld(propNames, patternRes, None)
         case JBool(true)  =>
-        case s            => rules += ClosedWorld(propNames, patternRes, Some(subRule(s, seen)))
+        case s            => rules += ClosedWorld(propNames, patternRes, Some(deepRule(s, seen)))
       }
-      o.get("propertyNames").foreach(s => rules += PropertyNames(subRule(s, seen)))
+      o.get("propertyNames").foreach(s => rules += PropertyNames(deepRule(s, seen)))
       o.get("minProperties").foreach(n => intOf(n).foreach(i => rules += MinProperties(i)))
       o.get("maxProperties").foreach(n => intOf(n).foreach(i => rules += MaxProperties(i)))
 
@@ -383,7 +409,7 @@ object RulePack {
 
     val start = pointer(root, frag)
       .getOrElse(throw new IllegalArgumentException(s"no schema at pointer: $frag"))
-    build(start, Set.empty, entryBase)
+    build(start, Map.empty, 0, entryBase)
   }
 
   /** Rule-pack linting — the analog of the reference validating a schema
@@ -438,7 +464,13 @@ object RulePack {
     walk(rule, "")
   }
 
+  /** Structural-depth budget for unrolling productive recursive refs —
+    * deeper than any static Spark column type in practice; expansions past
+    * it truncate to Always (they can never see data). */
+  private val MaxStructuralDepth = 12
+
   private val metaKeys = Set("$schema", "$id", "id", "$anchor", "$comment",
+    "$recursiveAnchor", "$recursiveRef",
     "title", "description", "definitions", "$defs", "examples", "default",
     "then", "else", "minContains", "maxContains", "additionalItems")
 

@@ -57,9 +57,9 @@ class AcceptanceSpec extends SparkSuite {
         .head().getBoolean(0)
     }
 
-  private val suite: Seq[(String, JValue, Seq[(String, JValue, Boolean)])] = {
+  private def loadSlice(resource: String): Seq[(String, JValue, Seq[(String, JValue, Boolean)])] = {
     val text = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/jsonschema-suite/draft7-slice.json"), "UTF-8").mkString
+      getClass.getResourceAsStream(resource), "UTF-8").mkString
     JValue.parse(text) match {
       case JArr(groups) => groups.map { case g: JObj =>
         val desc = g.get("description").collect { case JStr(s) => s }.get
@@ -79,6 +79,14 @@ class AcceptanceSpec extends SparkSuite {
       case other => sys.error(s"bad suite: $other")
     }
   }
+
+  /** draft 4/6/7 keyword slice + the 2019-09 delta slice (minContains /
+    * maxContains, dependentRequired / dependentSchemas, $anchor,
+    * $recursiveRef — the keywords the reference exercises in
+    * t/draft2019-09-acceptance.t, minus the groups on its own todo list). */
+  private val suite: Seq[(String, JValue, Seq[(String, JValue, Boolean)])] =
+    loadSlice("/jsonschema-suite/draft7-slice.json") ++
+      loadSlice("/jsonschema-suite/draft2019-slice.json")
 
   private var executed = 0
 
@@ -101,6 +109,7 @@ class AcceptanceSpec extends SparkSuite {
   }
 
   test("acceptance slice actually exercised a substantial case count") {
-    assert(suite.map(_._3.size).sum >= 150)
+    assert(suite.map(_._3.size).sum >= 200)
+    assert(suite.exists(_._1.startsWith("2019-09")), "the 2019-09 delta slice must be loaded")
   }
 }

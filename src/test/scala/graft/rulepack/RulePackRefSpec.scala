@@ -178,5 +178,53 @@ class RulePackRefSpec extends SparkSuite {
       RulePack.parse("""{"$ref": "#/nope"}"""))
     intercept[IllegalArgumentException](
       RulePack.parse("""{"definitions": {"a": {"$ref": "#/definitions/a"}}, "$ref": "#/definitions/a"}"""))
+    // indirect A→B→A cycle with no structural descent is equally degenerate
+    intercept[IllegalArgumentException](
+      RulePack.parse(
+        """{"definitions": {"a": {"allOf": [{"$ref": "#/definitions/b"}]},
+          |                 "b": {"$ref": "#/definitions/a"}},
+          | "$ref": "#/definitions/a"}""".stripMargin))
+  }
+
+  test("$recursiveRef tree resolves through a cross-document $ref (t/draft2019-09.t:25-36)") {
+    // the reference's own recursiveRef test: recursiveRef.json is just a
+    // $ref to tree.json, whose children items carry {"$recursiveRef": "#"}
+    // that must resolve to tree.json's OWN $id scope (urn:x-test:tree)
+    val tree = JValue.parse(
+      """{"$schema": "https://json-schema.org/draft/2019-09/schema",
+        | "$id": "urn:x-test:tree",
+        | "type": "object",
+        | "properties": {
+        |   "data": {"type": "integer"},
+        |   "children": {"type": "array", "items": {"$recursiveRef": "#"}}},
+        | "required": ["data"]}""".stripMargin)
+    val rule = RulePack.parse(
+      """{"$schema": "https://json-schema.org/draft/2019-09/schema",
+        | "$id": "urn:x-test:recursiveRef",
+        | "$ref": "urn:x-test:tree"}""".stripMargin,
+      RulePack.Store(Map("urn:x-test:tree" -> tree)))
+
+    import spark.implicits._
+    // nested tree rows via SQL struct literals — the grandchild level checks
+    // that the unrolling actually recurses
+    val df = spark.sql(
+      """SELECT named_struct('data', 1,
+        |  'children', array(named_struct('data', 2,
+        |     'children', array(named_struct('data', CAST(NULL AS INT)))))) AS doc
+        |UNION ALL
+        |SELECT named_struct('data', 1,
+        |  'children', array(named_struct('data', 5,
+        |     'children', array(named_struct('data', 9)))))""".stripMargin)
+    val dt = df.schema("doc").dataType
+    val errs = df.select(
+      org.apache.spark.sql.functions.explode(
+        graft.core.RuleCompiler.compile(rule, dt,
+          org.apache.spark.sql.functions.col("doc"),
+          org.apache.spark.sql.functions.lit(""))).as("e"))
+      .select("e.path", "e.rule_id").as[(String, String)].collect().toSeq
+    // only the NULL grandchild `data` violates, two levels down (the engine
+    // maps `required` to the NULL-presence check — SURVEY §2.2: SQL NULL is
+    // the flat-table analog of a missing key)
+    assert(errs === Seq("/children/0/children/0/data" -> "required"))
   }
 }
