@@ -475,6 +475,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "s06_ann_sq8" -> ((s, dir) => {
+      // asymmetric SQ8 ANN (FAISS-style ADC): the shortlist scan reads only
+      // the int8 codes + per-vector scale (4× less bandwidth than floats at
+      // 100 TB), then the top-20 candidates per query re-rank exactly with
+      // the float vectors — composing s05's quantizer into a search query
+      val emb = t(s, dir, "embeddings")
+      Similarity.topKSq8(emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
+          k = 5, shortlist = 20)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("sim6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "m01_media_meta" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractMeta(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
@@ -1015,6 +1028,33 @@ object SparkEntry {
         | round(list_max(list_transform(range(1, len(embedding) + 1),
         |   i -> abs(embedding[i]::DOUBLE - qv[i]::DOUBLE * coalesce(scale, 0)))), 9) AS err9
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "s06_ann_sq8" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |  sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')) AS qn
+        | FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT vec_id, embedding,
+        |  nullif(list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0, 0) AS scale
+        | FROM embeddings),
+        |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, scale,
+        |  list_transform(embedding, x -> CAST(coalesce(round(x::DOUBLE / scale), 0) AS TINYINT)) AS codes
+        | FROM s),
+        |c2 AS (SELECT neighbor_id, cv, scale, codes,
+        |  scale * sqrt(list_aggregate(list_transform(codes, v -> v::DOUBLE * v::DOUBLE), 'sum')) AS cn
+        | FROM c),
+        |approx AS (SELECT query_id, neighbor_id, cv, qv, qn,
+        |  scale * list_aggregate(list_transform(range(1, len(codes) + 1), i -> codes[i]::DOUBLE * qv[i]::DOUBLE), 'sum')
+        |    / nullif(cn * qn, 0) AS approx
+        | FROM c2 CROSS JOIN q WHERE query_id <> neighbor_id),
+        |short AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, neighbor_id) AS r FROM approx),
+        |rer AS (SELECT query_id, neighbor_id,
+        |  list_aggregate(list_transform(range(1, len(qv) + 1), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), 'sum')
+        |    / nullif(qn * sqrt(list_aggregate(list_transform(cv, x -> x::DOUBLE * x::DOUBLE), 'sum')), 0) AS c_raw
+        | FROM short WHERE r <= 20),
+        |ranked AS (SELECT query_id, neighbor_id, round(c_raw, 6) AS sim6,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY c_raw DESC, neighbor_id) AS rank FROM rer)
+        |SELECT query_id, neighbor_id, sim6, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

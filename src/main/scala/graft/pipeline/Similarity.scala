@@ -219,6 +219,69 @@ object Similarity {
   def sqDequantize(q: Column, scale: Column): Column =
     transform(q, v => v.cast("double") * coalesce(scale, lit(0.0)))
 
+  /** Materialize the stored SQ8 table `(id, scale, codes)` — in production
+    * the 1-byte-per-dim artifact that replaces the float column in the
+    * shortlist scan (4× less bandwidth at 100 TB). Explode-agg shape: the
+    * scale fold runs ONCE per row (it rides the Generate as a pass-through
+    * column — quantizing via `transform` would capture the scale expression
+    * inside the lambda and re-fold it per ELEMENT), each element quantizes
+    * once, and one partial-aggregated groupBy reassembles the code array in
+    * position order. */
+  def sq8Codes(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), sqScale(col(vecCol)).as("scale"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("id"), col("scale"),
+        struct(col("pos"),
+          coalesce(round(col("x").cast("double") / col("scale"), 0), lit(0.0))
+            .cast("tinyint").as("v")).as("pv"))
+      .groupBy("id", "scale")
+      .agg(collect_list(col("pv")).as("pvs"))
+      .select(col("id"), col("scale"),
+        transform(array_sort(col("pvs")), p => p.getField("v")).as("codes"))
+
+  /** ANN over SQ8 codes with exact float re-rank (asymmetric distance
+    * computation, the FAISS SQ pattern): the shortlist scan reads ONLY
+    * `(id, scale, codes)` — int8 corpus side, float query side — then the
+    * top `shortlist` candidates per query are re-ranked with the float
+    * vectors for the exact cosine. Recall is governed by `shortlist`
+    * (SQ8 approx cosine is within ~1e-2 of exact, so a few× k suffices).
+    * Output `(query_id, neighbor_id, cosine, rank)`, rank 1..k, ties by
+    * neighbor id — same contract as [[topKBruteForce]]. */
+  def topKSq8(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int): DataFrame =
+    topKSq8Coded(queries, sq8Codes(corpus, idCol, vecCol), corpus, idCol, vecCol, k, shortlist)
+
+  /** [[topKSq8]] over a pre-materialized codes table (the production form —
+    * the codes artifact is built once by [[sq8Codes]] and reused across
+    * queries; only the re-rank touches the float table). */
+  def topKSq8Coded(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    // code-side norm = norm of the dequantized vector = scale·√Σv²
+    val c = codes.select(col("id").as("neighbor_id"), col("scale"), col("codes"),
+      (col("scale") * sqrt(aggregate(col("codes"), lit(0.0),
+        (a, v) => a + v.cast("double") * v.cast("double")))).as("__cn"))
+    val approx = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__qn"),
+        (col("scale") * aggregate(zip_with(col("codes"), col("__qv"),
+            (cv, x) => cv.cast("double") * x.cast("double")),
+          lit(0.0), (a, v) => a + v)
+          / nullif(col("__cn") * col("__qn"), lit(0.0))).as("approx"))
+    val ws = Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = approx.withColumn("__r", row_number().over(ws))
+      .where(col("__r") <= shortlist)
+      .select("query_id", "neighbor_id", "__qv", "__qn")
+    // exact re-rank: only `shortlist` float vectors per query are read back
+    val v = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
+    val scored = cand.join(v, cand("neighbor_id") === v("__id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("__qv"), col("__v")) / nullif(col("__qn") * col("__n"), lit(0.0))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF-flat cell assignment: every vector joins the (broadcast) centroid
     * set, affinity = cosine, and ONE partial-aggregated `groupBy(id)` picks
     * the best cell via `max(struct(aff, −cid))` (max affinity, ties to the
@@ -247,6 +310,42 @@ object Similarity {
     df.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"), norm(col(vecCol)).as("cnrm"))
 
+  /** Data-adaptive coarse quantizer: Lloyd's iterations seeded from the
+    * deterministic [[ivfCentroids]] pick (no RNG state — the seed set is
+    * reproducible, only the float mean's summation order varies, which is
+    * why the oracle-checked query keeps the untrained quantizer and the
+    * trained path is pinned by a recall test instead).
+    *
+    * Each round: one [[ivfAssign]] pass (broadcast centroids, map-side
+    * combined groupBy — shuffle carries N rows), then the element-wise mean
+    * per cell as a `(cell, pos)` partial aggregate — the shuffle after
+    * map-side combine carries ≤ partitions·nlist·dims doubles, independent
+    * of N. Cells that lose all members drop out (standard Lloyd's); per
+    * round `localCheckpoint` keeps plans flat across iterations. */
+  def ivfCentroidsTrained(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3): DataFrame = {
+    var cents = ivfCentroids(df, idCol, vecCol, nlist).localCheckpoint()
+    for (_ <- 0 until iters) {
+      val el = ivfAssign(df, idCol, vecCol, cents)
+        .select(col("cell"), posexplode(col("vec")).as(Seq("pos", "x")))
+      cents = el.groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cell").as("cid"))
+        .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+        .select(col("cid"), transform(array_sort(col("pm")), p => p.getField("m")).as("cvec"))
+        .withColumn("cnrm", norm(col("cvec")))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Per-cell occupancy `(cell, n)` for a centroid set — the IVF twin of
+    * [[lshBucketStats]]: probe-cost and reducer-skew check before a run
+    * (candidate volume per query ≈ Σ over probed cells of n). */
+  def ivfCellStats(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    ivfAssign(df, idCol, vecCol, centroids)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+
   /** ANN via IVF-flat: corpus vectors are bucketed into `nlist` centroid
     * cells once; each query probes its `nprobe` nearest cells and re-ranks
     * exactly inside them. Complement to [[topKLsh]]: IVF gives data-adaptive
@@ -255,8 +354,8 @@ object Similarity {
     * Output `(query_id, neighbor_id, cosine, rank)`, self-matches excluded,
     * ties by neighbor id. */
   def topKIvf(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int, nprobe: Int): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+      k: Int, nlist: Int, nprobe: Int, centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
     val assigned = ivfAssign(corpus, idCol, vecCol, cents)
 
     // query probes: top-nprobe cells by affinity (queries are few; the

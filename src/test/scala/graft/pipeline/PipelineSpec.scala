@@ -130,6 +130,38 @@ class PipelineSpec extends SparkSuite {
     assert(cc === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("SQ8 ANN search recalls the exact brute-force top-k (quantize → shortlist → float re-rank)") {
+    val queries = emb001.where(col("vec_id") < 8)
+    val exact = Similarity.topKBruteForce(queries, emb001, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sq8 = Similarity.topKSq8(queries, emb001, "vec_id", "embedding", k = 5, shortlist = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect sq8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@5 = $recall")
+    // the codes artifact really is int8: 1 byte per dim
+    val codes = Similarity.sq8Codes(emb001, "vec_id", "embedding")
+    assert(codes.schema("codes").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType === org.apache.spark.sql.types.ByteType)
+    assert(codes.count() === emb001.count())
+  }
+
+  test("trained IVF centroids (Lloyd's) keep recall@5 >= 0.9 at nprobe=4 and assign every vector") {
+    val queries = emb001.where(col("vec_id") < 8)
+    val exact = Similarity.topKBruteForce(queries, emb001, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cents = Similarity.ivfCentroidsTrained(emb001, "vec_id", "embedding", nlist = 8, iters = 3)
+    val trained = Similarity.topKIvf(queries, emb001, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 4, centroids = Some(cents))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect trained).size.toDouble / exact.size
+    assert(recall >= 0.9, s"trained-IVF recall@5 = $recall")
+    // occupancy probe: every vector lands in exactly one surviving cell
+    val stats = Similarity.ivfCellStats(emb001, "vec_id", "embedding", cents)
+      .as[(Long, Long)].collect()
+    assert(stats.map(_._2).sum === emb001.count())
+    assert(stats.length <= 8 && stats.length >= 2)
+  }
+
   test("connected components FAIL LOUDLY when maxIter exits before convergence") {
     // a 6-node path needs ~5 propagation rounds; maxIter=2 exits with labels
     // still changing — returning them would silently split the group
