@@ -251,11 +251,13 @@ object Similarity {
       vecCol: String, k: Int, shortlist: Int): DataFrame =
     topKSq8Coded(queries, sq8Codes(corpus, idCol, vecCol), corpus, idCol, vecCol, k, shortlist)
 
-  /** [[topKSq8]] over a pre-materialized codes table (the production form —
-    * the codes artifact is built once by [[sq8Codes]] and reused across
-    * queries; only the re-rank touches the float table). */
-  def topKSq8Coded(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, shortlist: Int): DataFrame = {
+  /** Shortlist stage of the SQ8 search, isolated: approx-cosine top
+    * `shortlist` per query, touching ONLY the codes table on the corpus
+    * side. Output `(query_id, neighbor_id, __qv, __qn)` (query float vector
+    * and norm ride along for the re-rank). Benchmarkable on its own — the
+    * bandwidth-lever stage. */
+  def sq8Shortlist(queries: DataFrame, codes: DataFrame, idCol: String,
+      vecCol: String, shortlist: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       norm(col(vecCol)).as("__qn"))
     // code-side norm = norm of the dequantized vector = scale·√Σv²
@@ -270,9 +272,17 @@ object Similarity {
           lit(0.0), (a, v) => a + v)
           / nullif(col("__cn") * col("__qn"), lit(0.0))).as("approx"))
     val ws = Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
-    val cand = approx.withColumn("__r", row_number().over(ws))
+    approx.withColumn("__r", row_number().over(ws))
       .where(col("__r") <= shortlist)
       .select("query_id", "neighbor_id", "__qv", "__qn")
+  }
+
+  /** [[topKSq8]] over a pre-materialized codes table (the production form —
+    * the codes artifact is built once by [[sq8Codes]] and reused across
+    * queries; only the re-rank touches the float table). */
+  def topKSq8Coded(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    val cand = sq8Shortlist(queries, codes, idCol, vecCol, shortlist)
     // exact re-rank: only `shortlist` float vectors per query are read back
     val v = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"), norm(col(vecCol)).as("__n"))
     val scored = cand.join(v, cand("neighbor_id") === v("__id"))

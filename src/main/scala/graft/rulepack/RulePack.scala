@@ -469,6 +469,69 @@ object RulePack {
     * it truncate to Always (they can never see data). */
   private val MaxStructuralDepth = 12
 
+  /** Type-aware lint: walks the rule against a concrete row schema and
+    * names every enum/const constant the compiler's typed-literal coercion
+    * ([[graft.core.RuleCompiler.litOf]]) silently drops because its JSON
+    * type family can never equal the column's type. This is the visible,
+    * compile-time face of the documented deep-equality divergence from the
+    * reference's `data_checksum` (Util.pm:27-29): a heterogeneous
+    * `enum: [1, "x"]` against an int column quietly becomes `enum: [1]` —
+    * correct for typed data, invisible without this warning. Run it next to
+    * the untyped [[lint]] before launching jobs. */
+  def lint(rule: Rule, schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    import graft.core.RuleCompiler.litOf
+    def walk(r: Rule, dt: DataType, path: String): Seq[String] = r match {
+      case Enum(vs) =>
+        vs.filter(v => v != JNull && litOf(v, dt).isEmpty).map(v =>
+          s"$path: enum constant ${v.render} can never equal a ${dt.simpleString} value — dropped by typed equality")
+      case Const(v) if v != JNull && litOf(v, dt).isEmpty =>
+        Seq(s"$path: const ${v.render} can never equal a ${dt.simpleString} value — always fails on typed data")
+      case Properties(props) => props.flatMap { case (k, sub) =>
+        dt match {
+          case st: StructType if st.fieldNames.contains(k) => walk(sub, st(k).dataType, s"$path/$k")
+          case MapType(_, vt, _)                           => walk(sub, vt, s"$path/$k")
+          case _                                           => Nil
+        }
+      }
+      case PatternProperties(props) => dt match {
+        case MapType(_, vt, _) => props.flatMap { case (re, sub) => walk(sub, vt, s"$path/<$re>") }
+        case _                 => Nil // struct keys resolve at compile time
+      }
+      case Items(sub) => dt match {
+        case ArrayType(et, _) => walk(sub, et, s"$path/items"); case _ => Nil
+      }
+      case TupleItems(rs, add) => dt match {
+        case ArrayType(et, _) =>
+          rs.zipWithIndex.flatMap { case (s, i) => walk(s, et, s"$path/items/$i") } ++
+            add.toSeq.flatMap(walk(_, et, s"$path/additionalItems"))
+        case _ => Nil
+      }
+      case Contains(sub, _, _) => dt match {
+        case ArrayType(et, _) => walk(sub, et, s"$path/contains"); case _ => Nil
+      }
+      case All(rs)   => rs.flatMap(walk(_, dt, path))
+      case AllOf(rs) => rs.zipWithIndex.flatMap { case (s, i) => walk(s, dt, s"$path/allOf/$i") }
+      case AnyOf(rs) => rs.zipWithIndex.flatMap { case (s, i) => walk(s, dt, s"$path/anyOf/$i") }
+      case OneOf(rs) => rs.zipWithIndex.flatMap { case (s, i) => walk(s, dt, s"$path/oneOf/$i") }
+      case Not(s)    => walk(s, dt, s"$path/not")
+      case IfThenElse(c, t, e) =>
+        walk(c, dt, s"$path/if") ++ t.toSeq.flatMap(walk(_, dt, s"$path/then")) ++
+          e.toSeq.flatMap(walk(_, dt, s"$path/else"))
+      case Nullable(s)  => walk(s, dt, path)
+      case Modal(s, _)  => walk(s, dt, path)
+      case Discriminator(_, mapping, default) =>
+        mapping.flatMap { case (k, s) => walk(s, dt, s"$path/x-discriminator/$k") } ++
+          default.toSeq.flatMap(walk(_, dt, s"$path/x-discriminator/default"))
+      case DependentSchemas(deps) => deps.flatMap { case (k, s) => walk(s, dt, s"$path/dependentSchemas/$k") }
+      case ClosedWorld(_, _, Some(s)) => dt match {
+        case MapType(_, vt, _) => walk(s, vt, s"$path/additionalProperties"); case _ => Nil
+      }
+      case _ => Nil
+    }
+    walk(rule, schema, "")
+  }
+
   private val metaKeys = Set("$schema", "$id", "id", "$anchor", "$comment",
     "$recursiveAnchor", "$recursiveRef",
     "title", "description", "definitions", "$defs", "examples", "default",

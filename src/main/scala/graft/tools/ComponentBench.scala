@@ -34,6 +34,32 @@ object ComponentBench {
     time("uniqueness_hashed")(Uniqueness.duplicateKeysHashed(facts, Seq("doc_id")).count())
     time("referential")(Referential.violations(facts, "source", dim, "source").count())
     time("stats")(ColumnStats.profile(facts).count())
+
+    // SQ8 bandwidth probe: the ANN shortlist pass over the 1-byte-per-dim
+    // codes artifact vs the identical pass over the float column, both read
+    // from parquet — plus the on-disk sizes (the 4x storage claim, measured)
+    val embPath = args.lift(3).getOrElse("/root/testdata/sf0.1/embeddings.parquet")
+    if (new java.io.File(embPath).exists) {
+      import org.apache.spark.sql.functions._
+      import graft.pipeline.Similarity
+      val emb = spark.read.parquet(embPath)
+      val q = emb.where(col("vec_id") < 8)
+      val codesDir = java.nio.file.Files.createTempDirectory("sq8codes").toString
+      Similarity.sq8Codes(emb, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(codesDir)
+      val codes = spark.read.parquet(codesDir)
+      time("ann_shortlist_float")(
+        Similarity.topKBruteForce(q, emb, "vec_id", "embedding", k = 20).count())
+      time("ann_shortlist_sq8")(
+        Similarity.sq8Shortlist(q, codes, "vec_id", "embedding", shortlist = 20).count())
+      def dirBytes(p: String): Long = {
+        val f = new java.io.File(p)
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(x => dirBytes(x.getPath)).sum).getOrElse(0L)
+      }
+      println(f"[component] sq8_bytes@$cores: codes=${dirBytes(codesDir)} float=${dirBytes(embPath)} " +
+        f"ratio=${dirBytes(embPath).toDouble / dirBytes(codesDir)}%.2f")
+    }
     spark.stop()
   }
 }

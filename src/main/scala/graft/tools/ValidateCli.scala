@@ -37,6 +37,11 @@ object ValidateCli {
     val rule = RulePack.parseAny(packText)
     val df = spark.read.parquet(table)
 
+    // driver-side pre-flight (is_invalid analog): structural problems +
+    // constants the typed compiler would silently drop against THIS schema
+    val warnings = RulePack.lint(rule) ++ RulePack.lint(rule, df.schema)
+    warnings.foreach(w => println(s"lint: $w"))
+
     val ctx = RuleCompiler.Ctx(direction = direction)
     val violations = Violations.sorted(Violations.validate(df, rule, idCols, ctx), idCols)
     val verdicts = Violations.verdictByPartition(df, rule, None, ctx)

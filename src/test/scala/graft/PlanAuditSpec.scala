@@ -46,6 +46,41 @@ class PlanAuditSpec extends SparkSuite {
       .contains("CartesianProduct"))
   }
 
+  test("capped jaccardPairs explodes the corpus exactly once (checkpointed index)") {
+    // the df-cap path materializes ONE shingle explosion via localCheckpoint;
+    // both the frequent-shingle counts and the surviving postings read it —
+    // the executed plan downstream of the checkpoint must carry NO Generate
+    // (a second Generate would mean the corpus re-exploded/re-tokenized)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(100)
+    val pairs = graft.pipeline.Dedup.jaccardPairs(docs, "doc_id", "text",
+      k = 3, minJaccard = 0.5, maxDocFreq = 50)
+    pairs.collect()
+    val plan = planString(pairs)
+    assert(!plan.contains("Generate"), "capped jaccard re-explodes the corpus")
+    // and the two consumers really share the checkpointed RDD (scan appears,
+    // no parquet re-scan of documents)
+    assert(scans(pairs).isEmpty, "capped jaccard re-scans the parquet source")
+  }
+
+  test("SQ8 search shortlist stage carries no unbroadcast cartesian") {
+    val plan = planString(SparkEntry.queries("s06_ann_sq8")(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    // the only nested-loop allowed is against the broadcast query side
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+
+  test("s05 quantize evaluates once per element (single Generate, no per-stat transforms)") {
+    val df = SparkEntry.queries("s05_embedding_quantize")(spark, dir)
+    df.collect()
+    // AQE's toString prints the final AND initial plans — count in the
+    // final section only
+    val plan = planString(df).split("== Initial Plan ==")(0)
+    // exactly one Generate (the explode); the quantize math lives in the
+    // projection above it, not re-inlined per derived stat
+    assert(plan.linesIterator.count(_.contains("Generate")) === 1)
+  }
+
   test("q03 no longer hardcodes a broadcast of the growing customer table") {
     // nation (25 rows, true dim) may broadcast; customer must be left to
     // the size-gated planner — the logical plan must carry no user hint on it

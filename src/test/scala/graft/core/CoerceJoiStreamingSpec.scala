@@ -122,6 +122,36 @@ class CoerceJoiStreamingSpec extends SparkSuite {
     assert(got.except(want).count() === 0 && want.except(got).count() === 0)
   }
 
+  test("streaming windowed verdicts equal the batch computation bit-exactly on closed windows") {
+    // the e2e contract behind st01: the SAME windowedVerdicts computation
+    // over the SAME events parquet, driven once as a file-source stream
+    // (Trigger.AvailableNow) and once as a batch plan, must agree row-for-row
+    // on every watermark-closed window — only the open tail may differ
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val rule = Rule.Properties(Seq("value" -> Rule.Maximum(450)))
+
+    val q = StreamingValidate.windowedVerdicts(stream, rule, "ts", "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sverd_e2e")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sverd_e2e")
+
+    val all = StreamingValidate.windowedVerdicts(batch, rule, "ts", "5 minutes", "1 minute")
+    // every streaming row is bit-identical to its batch twin
+    assert(got.except(all).count() === 0)
+    // and the only batch rows the stream lacks are at the un-closed tail
+    // (within watermark delay + one window of the max event time)
+    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val tail = all.except(got)
+    assert(tail.where(col("window_start").cast("long") * 1000 < maxTs - 60000L - 300000L).count() === 0)
+    assert(got.count() > 100)
+  }
+
   test("streaming: windowed verdicts with watermark") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema

@@ -64,6 +64,24 @@ class RulePackEncoderSpec extends SparkSuite {
     assert(RulePack.lint(RulePack.parse("""{"type":"integer","minimum":0,"maximum":10}""")).isEmpty)
   }
 
+  test("typed lint names enum/const constants dropped by typed equality") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", IntegerType),
+      StructField("tags", ArrayType(StringType))))
+    // enum mixes an int (fine) with a string (can never equal an int column)
+    val pack = RulePack.parse(
+      """{"properties": {"k": {"enum": [1, "oops"]},
+        |                "tags": {"items": {"const": 7}}}}""".stripMargin)
+    val warnings = RulePack.lint(pack, schema)
+    assert(warnings.exists(w => w.contains("/k") && w.contains("\"oops\"")))
+    assert(warnings.exists(w => w.contains("/tags/items") && w.contains("7")))
+    // a family-compatible pack is clean
+    val ok = RulePack.parse(
+      """{"properties": {"k": {"enum": [1, 2]}, "tags": {"items": {"const": "a"}}}}""")
+    assert(RulePack.lint(ok, schema).isEmpty)
+  }
+
   test("draft dialect sniffing from $schema/swagger/openapi (Validator.pm:103-124)") {
     def d(json: String) = RulePack.detectDialect(JValue.parse(json))
     assert(d("""{"$schema":"http://json-schema.org/draft-04/schema#"}""") === "draft4")
