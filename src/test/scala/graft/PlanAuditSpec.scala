@@ -81,6 +81,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(plan.linesIterator.count(_.contains("Generate")) === 1)
   }
 
+  test("audit legs other than validation never decode the tokens array") {
+    // the parquet array decode is the audit's bandwidth wall — only the
+    // validation leg (whose rules READ tokens) may pay it
+    val tmp = java.nio.file.Files.createTempDirectory("audit-prune").toString
+    graft.sources.TokenGen.tokenSequences(spark, 2000, numPartitions = 2, maxLen = 16)
+      .write.mode("overwrite").parquet(tmp)
+    val facts = spark.read.parquet(tmp)
+    val dim = graft.sources.TokenGen.allowedSources(spark)
+
+    val ref = graft.global.Referential.violations(facts, "source", dim, "source")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    ref.collect() // AQE hides scan subtrees inside query stages until run
+    // pruned correctly, the count-over-anti-join plan references no tokens
+    // attribute anywhere — ReadSchema included
+    val refPlan = planString(ref).split("== Initial Plan ==")(0)
+    assert(refPlan.contains("ReadSchema"), "no parquet scan in the referential plan?")
+    assert(!refPlan.contains("tokens"), s"referential count decodes tokens:\n$refPlan")
+
+    val stats = graft.stats.ColumnStats.profile(facts, Seq("doc_id", "n_tok", "source"))
+    assert(scans(stats).forall(!_.requiredSchema.fieldNames.contains("tokens")))
+
+    val uniq = graft.global.Uniqueness.duplicateKeysHashed(facts, Seq("doc_id"))
+    assert(scans(uniq).forall(_.requiredSchema.fieldNames.toSet == Set("doc_id")))
+  }
+
   test("q03 no longer hardcodes a broadcast of the growing customer table") {
     // nation (25 rows, true dim) may broadcast; customer must be left to
     // the size-gated planner — the logical plan must carry no user hint on it
