@@ -450,29 +450,37 @@ object SparkEntry {
     }),
 
     "s05_embedding_quantize" -> ((s, dir) => {
-      // int8 scalar quantization profile, explode-agg shape: the quantize
-      // transform runs ONCE per element. (The per-row withColumn("q") form
-      // is re-inlined by CollapseProject into every derived stat — the
-      // array quantizes 4× per row; see the repo's measured pitfall list.)
-      // scale rides the Generate as a pass-through column, so the per-row
-      // fold runs once; the aggregation is partial (map-side combine), and
-      // the fixed-dim corpus means plain explode drops no vectors.
+      // int8 scalar quantization profile: per-vector scale, code stats and
+      // max reconstruction error (≤ scale/2 by construction). Shape choice,
+      // MEASURED at sf0.1/64-dim: this per-row projection runs the derived
+      // stats as in-row array passes (0.63 s); the explode-agg alternative
+      // (quantize once per element, partial-agg back per vector) pays a
+      // 1.6 M-row shuffle and measured 1.78× slower. At high dimension /
+      // 100 TB the explode shape wins — that is exactly what
+      // Similarity.sq8Codes does for the MATERIALIZED codes artifact (used
+      // by s06); this profiling query stays shuffle-free.
       val emb = t(s, dir, "embeddings")
-      emb.select(col("vec_id"),
-          Similarity.sqScale(col("embedding")).as("scale"),
-          explode(col("embedding")).as("x"))
-        .select(col("vec_id"), col("scale"), col("x"),
-          coalesce(round(col("x").cast("double") / col("scale"), 0), lit(0.0))
-            .cast("tinyint").as("v"))
-        .groupBy("vec_id")
-        .agg(
-          round(coalesce(first(col("scale")), lit(0.0)), 9).as("scale9"),
-          sum(col("v").cast("long")).as("qsum"),
-          min(col("v")).cast("long").as("qmin"),
-          max(col("v")).cast("long").as("qmax"),
-          round(max(abs(col("x").cast("double")
-            - col("v").cast("double") * coalesce(col("scale"), lit(0.0)))), 9).as("err9"))
+      emb.select(col("vec_id"), col("embedding"),
+          Similarity.sqScale(col("embedding")).as("scale"))
+        .withColumn("q", Similarity.sqQuantize(col("embedding"), col("scale")))
+        .select(
+          col("vec_id"),
+          round(coalesce(col("scale"), lit(0.0)), 9).as("scale9"),
+          aggregate(col("q"), lit(0L), (a, v) => a + v.cast("long")).as("qsum"),
+          array_min(col("q")).cast("long").as("qmin"),
+          array_max(col("q")).cast("long").as("qmax"),
+          round(array_max(zip_with(col("embedding"), col("q"),
+            (x, v) => abs(x.cast("double") - v.cast("double") * coalesce(col("scale"), lit(0.0))))), 9).as("err9"))
         .orderBy("vec_id")
+    }),
+
+    "p15_repetition" -> ((s, dir) => {
+      // Gopher-style repetition gates: duplicate-word fraction (per-row) +
+      // most-frequent-bigram fraction (explode-agg over the bigram multiset)
+      pipeline.TextAnalysis.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_words"), col("dup_word_frac"),
+          col("top_bigram_n"), col("n_bigrams"), col("top_bigram_frac"))
+        .orderBy("doc_id")
     }),
 
     "s06_ann_sq8" -> ((s, dir) => {
@@ -1028,6 +1036,20 @@ object SparkEntry {
         | round(list_max(list_transform(range(1, len(embedding) + 1),
         |   i -> abs(embedding[i]::DOUBLE - qv[i]::DOUBLE * coalesce(scale, 0)))), 9) AS err9
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    "p15_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |base AS (SELECT doc_id, len(ws)::BIGINT AS n_words,
+        |  round(1.0 - len(list_distinct(ws))::DOUBLE / nullif(len(ws), 0)::DOUBLE, 6) AS dup_word_frac,
+        |  list_transform(range(1, greatest(len(ws) - 1, 0) + 1), i -> ws[i] || ' ' || ws[i+1]) AS bi
+        | FROM w),
+        |g AS (SELECT doc_id, unnest(bi) AS g FROM base),
+        |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c)::BIGINT AS top_bigram_n, sum(c)::BIGINT AS n_bigrams FROM cnt GROUP BY 1)
+        |SELECT b.doc_id, n_words, dup_word_frac, top_bigram_n, n_bigrams,
+        |  round(top_bigram_n::DOUBLE / nullif(n_bigrams, 0)::DOUBLE, 6) AS top_bigram_frac
+        |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "s06_ann_sq8" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv,

@@ -251,6 +251,62 @@ object Dedup {
         "raise maxIter (rounds needed = graph diameter) — returning partial labels would " +
         "split duplicate groups silently")
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    * adversarial-diameter upgrade of [[connectedComponents]]: a chain of
+    * length L needs L min-label rounds but only O(log L) star rounds, each
+    * two partial-aggregated groupBys + two joins shuffling |E|.
+    *
+    *  - large-star: every edge (u,v) with v > u re-points v at
+    *    m(u) = min(Γ(u) ∪ {u}) — big nodes hook onto their neighborhood min;
+    *  - small-star: every node points itself and its smaller neighbors at
+    *    min(Γ⁻(u) ∪ {u}) — flattens the remaining short trees.
+    *
+    * Converges when the edge set is a union of stars (each node → its
+    * component min); same output contract as [[connectedComponents]]. */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 30): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
+      e.where(col("dst") > col("src"))
+        .join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val lower = e.where(col("dst") < col("src"))
+      // smaller neighbors are all < src, so min(Γ⁻ ∪ {u}) = min(Γ⁻)
+      val m = lower.groupBy("src").agg(min(col("dst")).as("m"))
+      lower.join(m, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(m.select(col("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var edges = sym(pairs.select(col(idA).as("src"), col(idB).as("dst")))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val next = sym(smallStar(sym(largeStar(edges)))).localCheckpoint()
+      changed = next.except(edges).count() + edges.except(next).count()
+      edges = next
+      iter += 1
+    }
+    requireConverged(changed, iter, "connectedComponentsStar")
+    // at convergence every non-root points straight at its component min
+    val links = edges.where(col("dst") < col("src"))
+      .select(col("src").as("id"), col("dst").as("component")).distinct()
+    val roots = links.select(col("component").as("id"), col("component")).distinct()
+    links.unionByName(roots)
+  }
+
   /** MinHash dedup GROUPS without ever materializing candidate pairs:
     * min-label propagation on the doc–bucket BIPARTITE graph. Each round is
     * two partial-aggregated groupBys over the `(doc, bucket)` index (size =

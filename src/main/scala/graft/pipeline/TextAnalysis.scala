@@ -114,4 +114,37 @@ object TextAnalysis {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
+
+  /** Word bigram array, duplicates KEPT (repetition analysis needs the
+    * multiset — [[Dedup.shingleArray]] deliberately dedups for Jaccard). */
+  private def bigrams(text: Column): Column = {
+    val ws = words(text)
+    filter(zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 — the standard
+    * repetition gates of large-scale corpus cleaning):
+    * `(id, n_words, dup_word_frac, top_bigram_n, n_bigrams,
+    * top_bigram_frac)`. High dup-word / top-bigram fractions mark
+    * degenerate, repetitive documents (boilerplate loops, keyword stuffing).
+    *
+    * Shape: the per-word fractions ride the scan; the top-bigram stats are
+    * two partial-aggregated groupBys over the exploded bigram multiset —
+    * shuffle carries (id, bigram, count), never raw text. Documents with
+    * fewer than two words have no bigrams: NULL fractions (left join), not
+    * fake zeros. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      size(words(col(textCol))).cast("long").as("n_words"),
+      round(lit(1.0) - size(array_distinct(words(col(textCol)))).cast("double")
+        / nullif(size(words(col(textCol))).cast("double"), lit(0.0)), 6).as("dup_word_frac"))
+    val top = df.select(col(idCol).as("id"), explode(bigrams(col(textCol))).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    base.join(top, Seq("id"), "left")
+      .withColumn("top_bigram_frac",
+        round(col("top_bigram_n").cast("double") / nullif(col("n_bigrams").cast("double"), lit(0.0)), 6))
+  }
 }

@@ -70,15 +70,21 @@ class PlanAuditSpec extends SparkSuite {
       plan.contains("BroadcastExchange"))
   }
 
-  test("s05 quantize evaluates once per element (single Generate, no per-stat transforms)") {
+  test("s05 stays a shuffle-free per-row projection; sq8Codes is the explode-agg shape") {
+    // measured trade (see the query's comment): the profile query avoids the
+    // explode's per-element shuffle; the materialized codes artifact takes it
     val df = SparkEntry.queries("s05_embedding_quantize")(spark, dir)
     df.collect()
-    // AQE's toString prints the final AND initial plans — count in the
-    // final section only
     val plan = planString(df).split("== Initial Plan ==")(0)
-    // exactly one Generate (the explode); the quantize math lives in the
-    // projection above it, not re-inlined per derived stat
-    assert(plan.linesIterator.count(_.contains("Generate")) === 1)
+    assert(!plan.contains("Generate"))
+    // the only exchange is the final orderBy's range partitioning
+    assert(!plan.contains("hashpartitioning"), "s05 gained an aggregation shuffle")
+    // and the codes artifact builder is the explode-agg (partial aggregate)
+    val codes = graft.pipeline.Similarity.sq8Codes(
+      spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+    codes.collect()
+    val cplan = planString(codes).split("== Initial Plan ==")(0)
+    assert(cplan.contains("Generate") && cplan.contains("HashAggregate"))
   }
 
   test("audit legs other than validation never decode the tokens array") {

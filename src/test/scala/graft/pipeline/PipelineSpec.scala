@@ -192,6 +192,25 @@ class PipelineSpec extends SparkSuite {
     assert(ok3 === want)
   }
 
+  test("large-star/small-star components agree with min-label and converge on adversarial chains") {
+    // a 120-hop chain: min-label propagation needs 120 rounds (throws at 20);
+    // the star algorithm needs O(log 120) ≈ 7
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(chain).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(star === (1L to 120L).map(_ -> 1L))
+
+    // exact agreement with the min-label form on a mixed graph (two cliques
+    // + a bridge + an isolated pair)
+    val pairs = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L)) ++
+      Seq((10L, 11L), (11L, 12L)) ++ Seq((50L, 51L))).toDF("id_a", "id_b")
+    val viaLabels = Dedup.connectedComponents(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val viaStars = Dedup.connectedComponentsStar(pairs)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(viaStars === viaLabels)
+  }
+
   test("bipartite minhash components agree exactly with pairs → connected components") {
     val viaPairs = Dedup.connectedComponents(
         Dedup.minhashCandidatePairs(docs, "doc_id", "text",
