@@ -33,14 +33,21 @@ object PipelineCli {
     val exactDeduped = withFp.join(keepers, Seq("fp", "doc_id"), "left_semi").drop("fp")
     val n1 = exactDeduped.count()
 
-    // 2. per-row quality + language gates + PII scrub (one projection, no
-    // shuffle — gates evaluate on the ORIGINAL text, the kept text is
-    // redacted)
+    // 2. per-row quality + language + repetition gates + PII scrub (the
+    // scalar gates are one projection riding the scan; the top-bigram
+    // repetition gate adds the bigram partial-agg — Gopher-style: drop
+    // documents dominated by one repeated bigram or by duplicate words)
+    val rep = TextAnalysis.repetitionSignals(exactDeduped, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("dup_word_frac"), col("top_bigram_frac"))
     val filtered = exactDeduped
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
       .where(col("quality") >= minQuality && col("predicted_lang") === lang)
+      .join(rep, Seq("doc_id"), "left")
+      .where(coalesce(col("dup_word_frac"), lit(0.0)) <= 0.9 &&
+        coalesce(col("top_bigram_frac"), lit(0.0)) <= 0.5)
       .withColumn("text", TextAnalysis.redactPii(col("text")))
+      .drop("dup_word_frac", "top_bigram_frac")
     val n2 = filtered.count()
 
     // 3. near-dup collapse: banded MinHash pairs → components → keep min id
