@@ -214,6 +214,15 @@ object SparkEntry {
       Drift.kl(first, second).select(round(col("kl"), 6).as("kl"))
     }),
 
+    "v15_drift_js" -> ((s, dir) => {
+      // Jensen–Shannon over the same split as v13 — the bounded symmetric
+      // member of the drift family (PSI v08, KL v13, JS here)
+      val li = t(s, dir, "lineitem")
+      val first = Drift.histogram(li.where(col("l_shipdate") < lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
+      val second = Drift.histogram(li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
+      Drift.js(first, second).select(round(col("js"), 6).as("js"))
+    }),
+
     "v14_map_rules" -> ((s, dir) => {
       // the same nested-JSON rule as v11 but through the MAP path: dynamic
       // keys via from_json to map<string,int> (the reference's hash regime)
@@ -711,6 +720,21 @@ object SparkEntry {
         | UNION ALL SELECT event_id, '/k', 'maximum', CAST(k AS VARCHAR)
         |  FROM parsed WHERE k > 80
         |) t ORDER BY event_id, path""".stripMargin,
+
+    "v15_drift_js" ->
+      """WITH binned AS (
+        | SELECT CAST(least(greatest(floor((l_quantity - 1)/5.0), 0), 9) AS INT) AS bin,
+        |        l_shipdate < TIMESTAMP '1998-01-01' AS is_ref
+        | FROM lineitem WHERE l_quantity IS NOT NULL),
+        |r AS (SELECT bin, count(*) AS n FROM binned WHERE is_ref GROUP BY bin),
+        |c AS (SELECT bin, count(*) AS n FROM binned WHERE NOT is_ref GROUP BY bin),
+        |rt AS (SELECT sum(n) AS t FROM r), ct AS (SELECT sum(n) AS t FROM c),
+        |j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+        |       greatest(COALESCE(r.n, 0)::DOUBLE / (SELECT t FROM rt), 1e-6) AS p,
+        |       greatest(COALESCE(c.n, 0)::DOUBLE / (SELECT t FROM ct), 1e-6) AS q
+        |      FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+        |jm AS (SELECT p, q, (p + q) / 2 AS m FROM j)
+        |SELECT round(sum(p * ln(p / m) * 0.5 + q * ln(q / m) * 0.5), 6) AS js FROM jm""".stripMargin,
 
     "v13_drift_kl" ->
       """WITH binned AS (

@@ -55,6 +55,17 @@ object Drift {
     joinedProportions(reference, current, eps)
       .agg(sum(col("p") * log(col("p") / col("q"))).as("kl"))
 
+  /** Jensen–Shannon divergence: `0.5·KL(P‖M) + 0.5·KL(Q‖M)` with
+    * `M = (P+Q)/2` — the symmetric, bounded (≤ ln 2) member of the drift
+    * family, the usual alerting complement to the unbounded KL/PSI (a new
+    * mode appearing in Q moves JS smoothly instead of exploding). Same
+    * epsilon-clamped proportions over the shared binning. */
+  def js(reference: DataFrame, current: DataFrame, eps: Double = 1e-6): DataFrame =
+    joinedProportions(reference, current, eps)
+      .select(col("p"), col("q"), ((col("p") + col("q")) / 2).as("m"))
+      .agg(sum(col("p") * log(col("p") / col("m")) * 0.5
+        + col("q") * log(col("q") / col("m")) * 0.5).as("js"))
+
   private def joinedProportions(reference: DataFrame, current: DataFrame, eps: Double): DataFrame = {
     val p = proportions(reference).withColumnRenamed("prop", "p")
     val q = proportions(current).withColumnRenamed("prop", "q")

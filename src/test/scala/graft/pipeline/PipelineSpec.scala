@@ -162,6 +162,26 @@ class PipelineSpec extends SparkSuite {
     assert(stats.length <= 8 && stats.length >= 2)
   }
 
+  test("round-3 ops are partition-invariant (sq8 search, star components, repetition signals)") {
+    // determinism under physical layout — the property every md5-derived /
+    // tie-broken operator in this engine guarantees
+    val sq8 = (d: org.apache.spark.sql.DataFrame) =>
+      Similarity.topKSq8(d.where(col("vec_id") < 4), d, "vec_id", "embedding", k = 5, shortlist = 20)
+        .select("query_id", "neighbor_id", "rank").orderBy("query_id", "rank")
+        .as[(Long, Long, Int)].collect().toSeq
+    assert(sq8(emb001) === sq8(emb001.repartition(7)))
+
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = (d: org.apache.spark.sql.DataFrame) =>
+      Dedup.connectedComponentsStar(d).orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(star(chain) === star(chain.repartition(5)))
+
+    val rep = (d: org.apache.spark.sql.DataFrame) =>
+      TextAnalysis.repetitionSignals(d, "doc_id", "text")
+        .orderBy("id").as[(Long, Long, Double, Long, Long, Double)].collect().toSeq
+    assert(rep(docs) === rep(docs.repartition(9)))
+  }
+
   test("connected components FAIL LOUDLY when maxIter exits before convergence") {
     // a 6-node path needs ~5 propagation rounds; maxIter=2 exits with labels
     // still changing — returning them would silently split the group
