@@ -13,7 +13,9 @@ import graft.functions.HistogramSketch
   * injects:
   *
   *  - `histogram_sketch(col, lo, hi, bins)` — the one-pass mergeable
-  *    histogram TypedImperativeAggregate behind the drift rules.
+  *    histogram TypedImperativeAggregate behind the drift rules;
+  *  - `graft_dot(a, b)` — the codegen'd array dot product behind the ANN
+  *    similarity paths.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -21,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("histogram_sketch"),
       new ExpressionInfo(classOf[HistogramSketch].getName, "histogram_sketch"),
       (exprs: Seq[Expression]) => HistogramSketch.fromExpressions(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => graft.functions.VectorOps.fromExpressions(exprs)))
   }
 }

@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product — the native codegen'd [[graft.functions.DotProduct]]
+    * expression (bit-identical to the HOF fold
+    * `aggregate(zip_with(a, b, (x, y) => x.castD * y.castD), 0.0, _ + _)`
+    * it replaced: same left-to-right IEEE summation, same NULL semantics —
+    * HOF folds are interpreted, a measured 5× tax on pairwise paths). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -121,9 +124,7 @@ object Similarity {
           // of the declared size take the precomputed plane; any other size
           // falls back to the md5 expression (bit-identical values).
           when(size(vec) === n,
-            aggregate(
-              zip_with(vec, typedLit(plane), (x, p) => x.cast("double") * p),
-              lit(0.0), (acc, v) => acc + v))
+            dot(vec, typedLit(plane)))
             .otherwise(slow)
         case None => slow
       }
@@ -262,14 +263,11 @@ object Similarity {
       norm(col(vecCol)).as("__qn"))
     // code-side norm = norm of the dequantized vector = scale·√Σv²
     val c = codes.select(col("id").as("neighbor_id"), col("scale"), col("codes"),
-      (col("scale") * sqrt(aggregate(col("codes"), lit(0.0),
-        (a, v) => a + v.cast("double") * v.cast("double")))).as("__cn"))
+      (col("scale") * sqrt(dot(col("codes"), col("codes")))).as("__cn"))
     val approx = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__qn"),
-        (col("scale") * aggregate(zip_with(col("codes"), col("__qv"),
-            (cv, x) => cv.cast("double") * x.cast("double")),
-          lit(0.0), (a, v) => a + v)
+        (col("scale") * dot(col("codes"), col("__qv"))
           / nullif(col("__cn") * col("__qn"), lit(0.0))).as("approx"))
     val ws = Window.partitionBy("query_id").orderBy(col("approx").desc, col("neighbor_id"))
     approx.withColumn("__r", row_number().over(ws))

@@ -19,7 +19,13 @@ object ExtensionsCheck {
       "SELECT histogram_sketch(CAST(id AS DOUBLE), 0, 100, 4) AS h FROM nums")
       .head().getSeq[Long](0)
     require(counts.sum == 100L && counts.forall(_ == 25L), s"bad sketch: $counts")
-    println(s"EXTOK ${counts.mkString(",")}")
+    // and the codegen'd dot product, from pure SQL (no driver registration)
+    val d = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    require(d == 11.0, s"bad dot: $d")
+    println(s"EXTOK ${counts.mkString(",")} dot=$d")
     spark.stop()
   }
 }

@@ -162,6 +162,35 @@ class PipelineSpec extends SparkSuite {
     assert(stats.length <= 8 && stats.length >= 2)
   }
 
+  test("native graft_dot is bit-identical to the HOF fold, with its exact NULL semantics") {
+    val hofDot = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) => acc + v)
+    // bit-identity over the real embedding corpus (same IEEE fold order)
+    val cmp = emb001.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("native"),
+      hofDot(col("embedding"), col("embedding")).as("hof"))
+    assert(cmp.where(col("native") =!= col("hof") ||
+      col("native").isNull =!= col("hof").isNull).count() === 0)
+    // NULL semantics: null input, length mismatch, null element → NULL; empty → 0.0
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),   // 11.0
+      (Seq.empty[Float], Seq.empty[Float])  // 0.0
+    ).toDF("a", "b")
+    val got = df.select(Similarity.dot(col("a"), col("b"))).as[Option[Double]].collect().toSeq
+    assert(got === Seq(Some(11.0), Some(0.0)))
+    val mismatch = Seq((Seq(1.0f, 2.0f), Seq(3.0f))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b"))).as[Option[Double]].head()
+    assert(mismatch.isEmpty)
+    val nullSide = Seq((Some(Seq(1.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b"))).as[Option[Double]].head()
+    assert(nullSide.isEmpty)
+    // int8 codes × float queries (the asymmetric SQ8 pairing) work natively
+    val mixed = Seq((Seq(2.toByte, -3.toByte), Seq(0.5f, 1.0f))).toDF("c", "q")
+      .select(Similarity.dot(col("c"), col("q"))).as[Double].head()
+    assert(mixed === -2.0)
+  }
+
   test("round-3 ops are partition-invariant (sq8 search, star components, repetition signals)") {
     // determinism under physical layout — the property every md5-derived /
     // tie-broken operator in this engine guarantees
