@@ -565,7 +565,11 @@ object RuleCompiler {
     val allowsNull = types.contains("null")
     val want = types.mkString("/")
 
-    def gotCol: Column = when(target.isNull, lit("null")).otherwise(lit(staticT))
+    // the reference's data_type reports "integer" only when a candidate
+    // schema asks for it; otherwise integral values are "number"
+    // (Util.pm:66-69 — pinned by t/issue-22: "Expected string - got number.")
+    val gotName = if (staticT == "integer" && !types.contains("integer")) "number" else staticT
+    def gotCol: Column = when(target.isNull, lit("null")).otherwise(lit(gotName))
 
     val matchesNonNull: Column = {
       val direct = types.contains(staticT) ||

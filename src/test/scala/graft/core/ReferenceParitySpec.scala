@@ -89,6 +89,18 @@ class ReferenceParitySpec extends SparkSuite {
   }
 
   // ---- oneOf specials (t/jv-oneof.t) ----
+  test("type failure emits ONE error, enum suppressed (issue-22 duplicate-error-messages)") {
+    // reference t/issue-22-duplicate-error-messages.t: 123 against
+    // {type: string, enum: [bar, baz]} must report ONLY the type error
+    check(Seq(123L).toDF("value"),
+      """{"type":"string","enum":["bar","baz"]}""",
+      Seq("/" -> "Expected string - got number."))
+    // and a type-valid value still reaches the enum check
+    check(Seq("x").toDF("value"),
+      """{"type":"string","enum":["bar","baz"]}""",
+      Seq("/" -> "Not in enum list: bar, baz."))
+  }
+
   test("oneOf boolean-schema battery (t/jv-oneof.t:33-39)") {
     check(Seq(1).toDF("value"), """{"oneOf":[true,false]}""", Seq())
     check(Seq(1).toDF("value"), """{"oneOf":[true,true]}""",

@@ -28,7 +28,9 @@ class RuleCompilerSpec extends SparkSuite {
 
   test("type: string vs integer column (t/jv-basic.t semantics)") {
     val df = Seq(42).toDF("value")
-    assert(checkCol(df, """{"type":"string"}""") == Seq("/" -> "Expected string - got integer."))
+    // "got number", not "got integer": the reference's data_type reports
+    // integer only when a candidate schema requests it (Util.pm:66-69)
+    assert(checkCol(df, """{"type":"string"}""") == Seq("/" -> "Expected string - got number."))
     assert(checkCol(df, """{"type":"integer"}""").isEmpty)
     assert(checkCol(df, """{"type":"number"}""").isEmpty)
   }
