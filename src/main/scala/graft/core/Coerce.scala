@@ -58,6 +58,18 @@ object Coerce {
   case object ToString extends Coercion
   final case class WithDefault(default: JValue) extends Coercion
 
+  /** `coerce('defaults')` from a rule-pack document: extract every property
+    * default ([[graft.rulepack.RulePack.propertyDefaults]], `$ref`s
+    * followed) and apply them as one repaired projection. Defaults whose
+    * JSON type can never inhabit the column (the reference's "default
+    * values must be valid" case, t/coerce-default.t:29-32) leave the column
+    * NULL, so the subsequent validation reports the violation — same
+    * outcome, typed-engine shape. */
+  def withPackDefaults(df: DataFrame, packJson: JValue,
+      store: graft.rulepack.RulePack.Store = graft.rulepack.RulePack.Store()): DataFrame =
+    apply(df, graft.rulepack.RulePack.propertyDefaults(packJson, store)
+      .map { case (k, d) => k -> (WithDefault(d): Coercion) })
+
   /** Apply a coercion spec per column: returns the repaired projection. */
   def apply(df: DataFrame, spec: Map[String, Coercion]): DataFrame = {
     val cols = df.columns.map { name =>

@@ -145,11 +145,15 @@ object RulePack {
     * `fromPointer(spec, "/components/schemas/Pet")` compiles one component
     * whose refs reach its siblings (reference `Schema.pm:260-326 get` +
     * resolve-before-validate contract). */
-  def fromPointer(root: JValue, frag: String, store: Store = Store()): Rule = {
+  /** The resolution context shared by [[fromPointer]] (rule building) and
+    * [[propertyDefaults]] (default extraction): root-id validation,
+    * `$id`/`$anchor` registration of the entry and store documents, and
+    * `$ref`-target lookup. */
+  private final class Resolver(root: JValue, store: Store) {
     // root id validation + entry base (reference Schema.pm id contract:
     // t/id-keyword-draft4.t "Fragment not allowed"/"Relative URL not
     // allowed")
-    val rootId = root match {
+    private val rootId = root match {
       case o: JObj => (o.get("$id") orElse o.get("id")).collect { case JStr(s) => s }
       case _       => None
     }
@@ -159,11 +163,11 @@ object RulePack {
       if (!s.matches("^[A-Za-z][A-Za-z0-9+.\\-]*:.*"))
         throw new IllegalArgumentException(s"Relative URL not allowed as root id: $s")
     }
-    val entryBase = rootId.map(s => stripFragment(s)).getOrElse("")
+    val entryBase: String = rootId.map(s => stripFragment(s)).getOrElse("")
 
     // two-pass: register $id/$anchor subtrees of the entry document and of
     // every store document (each against its own base), THEN build
-    val reg = scala.collection.mutable.Map[String, JValue]()
+    private val reg = scala.collection.mutable.Map[String, JValue]()
     if (entryBase.nonEmpty) reg(entryBase) = root
     registerIds(root, entryBase, reg)
     for ((uri, doc) <- store.docs) {
@@ -174,7 +178,7 @@ object RulePack {
     /** Document a base URI's fragment pointers resolve against: the
       * registered subtree for that base, the entry root for the anonymous
       * base. */
-    def docOf(base: String): JValue =
+    private def docOf(base: String): JValue =
       if (base.isEmpty) root else reg.getOrElse(stripFragment(base), root)
 
     /** Resolve `uri` (as written in a `$ref`) against the OWNING schema's
@@ -195,6 +199,12 @@ object RulePack {
       target.map((_, docUri))
         .getOrElse(throw new IllegalArgumentException(s"unresolvable \\$$ref: $uri (base '$base')"))
     }
+  }
+
+  def fromPointer(root: JValue, frag: String, store: Store = Store()): Rule = {
+    val resolver = new Resolver(root, store)
+    val entryBase = resolver.entryBase
+    def resolveRef(uri: String, base: String): (JValue, String) = resolver.resolveRef(uri, base)
 
     /** `seen` maps an active `$ref`/`$recursiveRef` expansion to the
       * STRUCTURAL depth (levels of items/properties/contains descent — i.e.
@@ -468,6 +478,38 @@ object RulePack {
     * deeper than any static Spark column type in practice; expansions past
     * it truncate to Always (they can never see data). */
   private val MaxStructuralDepth = 12
+
+  /** Defaults declared on the root object's properties, `$ref`s followed —
+    * the schema side of the reference's `coerce('defaults')`
+    * (Schema.pm:752-755; t/coerce-default.t pins that defaults live behind
+    * `$ref`s too). Feed the result to [[graft.core.Coerce.apply]] for the
+    * non-mutating repaired projection (the engine's analog of the
+    * reference's in-place `$data->{$k} = $default`). */
+  def propertyDefaults(root: JValue, store: Store = Store()): Map[String, JValue] = {
+    val resolver = new Resolver(root, store)
+    def defaultOf(s: JValue, base: String, depth: Int): Option[JValue] = s match {
+      case so: JObj =>
+        so.get("default").orElse {
+          (so.get("$ref") orElse so.get("$recursiveRef")) match {
+            case Some(JStr(uri)) if depth < MaxStructuralDepth =>
+              val (target, targetBase) = resolver.resolveRef(uri, base)
+              defaultOf(target, targetBase, depth + 1)
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+    root match {
+      case o: JObj => o.get("properties") match {
+        case Some(JObj(props)) =>
+          props.flatMap { case (k, s) =>
+            defaultOf(s, resolver.entryBase, 0).map(k -> _)
+          }.toMap
+        case _ => Map.empty
+      }
+      case _ => Map.empty
+    }
+  }
 
   /** Type-aware lint: walks the rule against a concrete row schema and
     * names every enum/const constant the compiler's typed-literal coercion

@@ -12,6 +12,31 @@ import org.apache.spark.sql.streaming.Trigger
 class CoerceJoiStreamingSpec extends SparkSuite {
   import spark.implicits._
 
+  test("pack defaults auto-extract, through $refs (t/coerce-default.t)") {
+    val pack = JValue.parse(
+      """{"$schema": "http://json-schema.org/draft-04/schema#",
+        | "type": "object",
+        | "definitions": {"subscribed_to": {"type": "array", "default": []}},
+        | "properties": {"tos": {"type": "boolean", "default": false},
+        |                "subscribed_to": {"$ref": "#/definitions/subscribed_to"}}}""".stripMargin)
+    val df = Seq((Option.empty[Boolean], Option.empty[Seq[String]]),
+      (Some(true), Option.empty[Seq[String]])).toDF("tos", "subscribed_to")
+    val repaired = Coerce.withPackDefaults(df, pack)
+    val rows = repaired.orderBy(col("tos").asc_nulls_first)
+      .as[(Boolean, Seq[String])].collect().toSeq
+    // row 1: both defaulted (tos=false, subscribed_to=[]); row 2: tos kept
+    assert(rows === Seq(false -> Seq.empty, true -> Seq.empty))
+    // 'defaults pass validation'
+    assert(Violations.validate(repaired,
+      graft.rulepack.RulePack.fromJson(pack), Seq()).count() === 0)
+    // 'default values must be valid': a default that cannot inhabit the
+    // typed column leaves it NULL, so validation still reports the problem
+    val bad = JValue.parse(
+      """{"type":"object","properties":{"age":{"type":"number","default":"invalid"}}}""")
+    val rep2 = Coerce.withPackDefaults(Seq(Option.empty[Double]).toDF("age"), bad)
+    assert(rep2.select("age").as[Option[Double]].head().isEmpty)
+  }
+
   test("coerce numbers: '4.2' becomes 4.2, junk becomes null (t/coerce.t:13-28)") {
     val df = Seq(("4.2", "x"), ("007", "y"), ("nope", "z")).toDF("v", "k")
     val out = Coerce(df, Map("v" -> ToNumber)).select("v").as[Option[Double]].collect()
