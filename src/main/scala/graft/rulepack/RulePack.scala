@@ -40,6 +40,80 @@ object RulePack {
     }
   }
 
+  /** Wildcard pointer walk (reference Schema.pm:260-326 `_get` with undef
+    * segments): `None` fans out over all object keys / array indices;
+    * returns every match with its concrete JSON-pointer path (the
+    * reference's callback contract, t/get.t 'callback'). */
+  def pointerAll(doc: JValue, segments: Seq[Option[String]]): Seq[(JValue, String)] = {
+    def esc(s: String) = s.replace("~", "~0").replace("/", "~1")
+    def walk(v: JValue, rest: Seq[Option[String]], path: String): Seq[(JValue, String)] = rest match {
+      case Seq() => Seq(v -> path)
+      case Some(k) +: tail => v match {
+        case o: JObj     => o.get(k).toSeq.flatMap(walk(_, tail, s"$path/${esc(k)}"))
+        case JArr(items) => k.toIntOption.flatMap(items.lift).toSeq.flatMap(walk(_, tail, s"$path/$k"))
+        case _           => Nil
+      }
+      case None +: tail => v match {
+        case JObj(fields) => fields.flatMap { case (k, s) => walk(s, tail, s"$path/${esc(k)}") }
+        case JArr(items)  => items.zipWithIndex.flatMap { case (s, i) => walk(s, tail, s"$path/$i") }
+        case _            => Nil
+      }
+    }
+    walk(doc, segments, "")
+  }
+
+  /** `get` with the reference's `$ref`-following view (t/get.t '$ref'
+    * subtest): when the addressed value is an object carrying `$ref` /
+    * `$recursiveRef`, the chain is followed and sibling keywords merge with
+    * the target's (target wins per keyword — `_state`'s
+    * `{%alongside, %$schema}`, Schema.pm:353-364 / Draft201909.pm:49-68) —
+    * unless the path itself addresses the `$ref` key. Returns None for a
+    * missing path, like the reference's undef. */
+  def getResolved(root: JValue, frag: String, store: Store = Store()): Option[JValue] = {
+    val resolver = new Resolver(root, store)
+    def followMerge(v: JValue, base: String, seen: Set[String]): JValue = v match {
+      case o: JObj =>
+        (o.get("$ref") orElse o.get("$recursiveRef")) match {
+          case Some(JStr(uri)) =>
+            val key = joinUri(base, uri)
+            if (seen.contains(key)) v // cyclic view: stop merging, return as-is
+            else {
+              val (target, targetBase) = resolver.resolveRef(uri, base)
+              val alongside = o.fields.filterNot { case (k, _) =>
+                k == "$ref" || k == "$recursiveRef" || k == "$anchor" ||
+                  k == "$id" || k == "id" || k == "$recursiveAnchor"
+              }
+              followMerge(target, targetBase, seen + key) match {
+                case JObj(tf) =>
+                  // target wins per keyword; sibling keys keep their order
+                  val overridden = alongside.filterNot { case (k, _) => tf.exists(_._1 == k) }
+                  JObj(overridden ++ tf)
+                case other => other
+              }
+            }
+          case _ => v
+        }
+      case _ => v
+    }
+    // refs are followed WHILE navigating (mid-path refs resolve before each
+    // descent), except when the path addresses the $ref key itself
+    val parts = frag.split("/").filter(_.nonEmpty)
+      .map(_.replace("~1", "/").replace("~0", "~")).toSeq
+    val landed = parts.foldLeft(Option(root)) { (acc, key) =>
+      acc.flatMap { v =>
+        val here =
+          if (key == "$ref" || key == "$recursiveRef") v
+          else followMerge(v, resolver.entryBase, Set.empty)
+        here match {
+          case o: JObj     => o.get(key)
+          case JArr(items) => key.toIntOption.flatMap(items.lift)
+          case _           => None
+        }
+      }
+    }
+    landed.map(followMerge(_, resolver.entryBase, Set.empty))
+  }
+
   def parse(json: String, store: Store = Store()): Rule =
     fromJson(JValue.parse(json), store)
 

@@ -3,7 +3,7 @@ package graft.rulepack
 import graft.SparkSuite
 import graft.core.Rule
 import graft.core.Rule._
-import graft.core.JValue
+import graft.core.{JInt, JObj, JStr, JValue}
 
 /** `$id`/`$anchor` registration and base-URI-aware `$ref` resolution —
   * reference t/id-keyword-draft4.t, t/id-keyword-draft7.t,
@@ -171,6 +171,41 @@ class RulePackRefSpec extends SparkSuite {
     val rule = RulePack.parse(json)
     val reparsed = RulePack.parse(RulePackEncoder.encodeToJson(rule))
     assert(reparsed === rule)
+  }
+
+  test("pointer get: escapes, $ref-merged view, wildcard fan-out (t/get.t)") {
+    val doc = JValue.parse(
+      """{"$defs": {"z1": {"$ref": "#/$defs/z2", "minLength": 1},
+        |           "z2": {"type": "string"}},
+        | "properties": {
+        |   "bar": {"items": [{"properties": {"y": {"$ref": "#/$defs/z1"}, "x": {"type": "integer"}}}]},
+        |   "foo": {"items": [{"properties": {"y": {"type": "string"}}}]},
+        |   "x/~y": {"type": "boolean"}}}""".stripMargin)
+
+    // plain navigation + ~1/~0 escapes + undef for missing paths
+    assert(RulePack.getResolved(doc, "/properties/foo/items/0/properties/y/type") === Some(JStr("string")))
+    assert(RulePack.getResolved(doc, "/$defs/baz") === None)
+    assert(RulePack.getResolved(doc, "/properties/baz") === None)
+    assert(RulePack.getResolved(doc, "/properties/x~1~0y/type") === Some(JStr("boolean")))
+
+    // $ref-merged view: y resolves through z1 -> z2, siblings merged
+    val y = RulePack.getResolved(doc, "/properties/bar/items/0/properties/y").get.asInstanceOf[JObj]
+    assert(y.get("type") === Some(JStr("string")))
+    assert(y.get("minLength") === Some(JInt(1)))
+    assert(y.fields.map(_._1).toSet === Set("type", "minLength"))
+    // ...unless the path addresses $ref itself
+    assert(RulePack.getResolved(doc, "/properties/bar/items/0/properties/y/$ref")
+      === Some(JStr("#/$defs/z1")))
+    // mid-path refs resolve too: navigate THROUGH y into the merged target
+    assert(RulePack.getResolved(doc, "/properties/bar/items/0/properties/y/minLength") === Some(JInt(1)))
+    assert(RulePack.getResolved(doc, "/properties/bar/items/0/properties/y/type") === Some(JStr("string")))
+
+    // wildcard fan-out with concrete paths (the callback contract)
+    val hits = RulePack.pointerAll(doc,
+      Seq(Some("properties"), None, Some("items"), Some("0"), Some("properties"), None, Some("type")))
+    assert(hits.toSet === Set(
+      JStr("integer") -> "/properties/bar/items/0/properties/x/type",
+      JStr("string") -> "/properties/foo/items/0/properties/y/type"))
   }
 
   test("unresolvable and recursive refs still fail fast") {
