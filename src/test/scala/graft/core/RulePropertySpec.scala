@@ -114,6 +114,89 @@ class RulePropertySpec extends SparkSuite {
       1 -> Gen.lzy(Gen.listOfN(2, genStrRule(depth - 1))).map(AnyOf(_)),
       1 -> Gen.lzy(Gen.listOfN(3, genStrRule(depth - 1))).map(OneOf(_)))
 
+  // ---- array-domain oracle + generator (elements are the integer domain) ----
+  private def passesArr(rule: Rule, v: Option[Seq[Long]]): Boolean = rule match {
+    case Always => true
+    case Never  => false
+    case TypeIs(types) => v match {
+      case None    => types.contains("null")
+      case Some(_) => types.contains("array")
+    }
+    case MinItems(n)  => v.forall(_.length >= n)
+    case MaxItems(n)  => v.forall(_.length <= n)
+    case UniqueItems  => v.forall(xs => xs.distinct.length == xs.length)
+    case Items(sub)   => v.forall(_.forall(x => passes(sub, Some(x))))
+    case TupleItems(rs, add) => v.forall { xs =>
+      xs.zipWithIndex.forall { case (x, i) =>
+        if (i < rs.length) passes(rs(i), Some(x))
+        else add.exists(a => passes(a, Some(x))) // None = additionalItems:false
+      }
+    }
+    // engine semantics (spec-shaped): n in [minContains getOrElse 1,
+    // maxContains]; minContains=0 relaxes fully (the reference additionally
+    // fails nonempty arrays where EVERY element fails even at minContains 0
+    // — Draft201909.pm:82 pushes the element errors — a documented corner
+    // where the engine follows the 2019-09 spec instead)
+    case Contains(sub, minC, maxC) => v.forall { xs =>
+      val n = xs.count(x => passes(sub, Some(x)))
+      n >= minC.getOrElse(1) && maxC.forall(n <= _)
+    }
+    case Not(r)    => !passesArr(r, v)
+    case All(rs)   => rs.forall(passesArr(_, v))
+    case AllOf(rs) => rs.forall(passesArr(_, v))
+    case AnyOf(rs) => rs.exists(passesArr(_, v))
+    case OneOf(rs) => rs.count(passesArr(_, v)) == 1
+    case IfThenElse(c, t, e) =>
+      if (passesArr(c, v)) t.forall(passesArr(_, v)) else e.forall(passesArr(_, v))
+    case Nullable(r) => v.isEmpty || passesArr(r, v)
+    case _ => true // scalar/object keywords don't apply to an array column
+  }
+
+  private val genArrLeaf: Gen[Rule] = Gen.oneOf(
+    Gen.const(Always),
+    Gen.const(Never),
+    Gen.oneOf(Seq("array"), Seq("array", "null"), Seq("null"), Seq("string")).map(TypeIs(_)),
+    Gen.choose(0, 5).map(MinItems(_)),
+    Gen.choose(0, 5).map(MaxItems(_)),
+    Gen.const(UniqueItems),
+    genLeaf.map(Items(_)),
+    Gen.zip(Gen.listOfN(2, genLeaf), Gen.option(genLeaf)).map { case (rs, add) => TupleItems(rs, add) },
+    Gen.zip(genLeaf, Gen.oneOf(None, Some(0), Some(1), Some(2)), Gen.oneOf(None, Some(1), Some(3)))
+      .map { case (s, lo, hi) => Contains(s, lo, hi) })
+
+  private def genArrRule(depth: Int): Gen[Rule] =
+    if (depth <= 0) genArrLeaf
+    else Gen.frequency(
+      4 -> genArrLeaf,
+      1 -> Gen.lzy(genArrRule(depth - 1)).map(Not(_)),
+      1 -> Gen.lzy(Gen.listOfN(2, genArrRule(depth - 1))).map(AllOf(_)),
+      1 -> Gen.lzy(Gen.listOfN(2, genArrRule(depth - 1))).map(AnyOf(_)),
+      1 -> Gen.lzy(Gen.listOfN(3, genArrRule(depth - 1))).map(OneOf(_)))
+
+  test("compiler agrees with the oracle on random ARRAY rules × values") {
+    val values: Seq[Option[Seq[Long]]] = Seq(
+      Some(Seq.empty[Long]), Some(Seq(0L)), Some(Seq(2L)), Some(Seq(2L, 2L)),
+      Some(Seq(1L, 2L, 3L)), Some(Seq(4L, 4L, 6L, 6L)), Some(Seq(-3L, 0L, 3L, 6L, 9L)),
+      Some(Seq(7L, 7L, 7L, 7L, 7L, 7L)), None)
+    val df = values.toDF("value").cache()
+    val dt = df.schema("value").dataType
+    (1 to 3).foreach { batch =>
+      val rules = Gen.listOfN(40, genArrRule(2)).apply(
+        Gen.Parameters.default.withSize(10),
+        org.scalacheck.rng.Seed(batch * 15485863L)).get
+      val cols = rules.zipWithIndex.map { case (r, i) =>
+        (size(RuleCompiler.compile(r, dt, col("value"), lit(""))) === 0).as(s"r$i")
+      }
+      val got = df.select(cols: _*).collect()
+      values.zipWithIndex.foreach { case (v, vi) =>
+        rules.zipWithIndex.foreach { case (r, ri) =>
+          assert(got(vi).getBoolean(ri) === passesArr(r, v),
+            s"disagreement on value=$v rule=$r")
+        }
+      }
+    }
+  }
+
   test("compiler agrees with the oracle on random STRING rules × values") {
     val values: Seq[Option[String]] =
       Seq("a", "ab", "abc", "xyz", "hello", "", "Abc", "a1", "b", "zb").map(Some(_)) :+ None
