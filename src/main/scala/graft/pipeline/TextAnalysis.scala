@@ -136,10 +136,14 @@ object TextAnalysis {
     * fake zeros. */
   def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      size(words(col(textCol))).cast("long").as("n_words"),
-      round(lit(1.0) - size(array_distinct(words(col(textCol)))).cast("double")
-        / nullif(size(words(col(textCol))).cast("double"), lit(0.0)), 6).as("dup_word_frac"))
+    // tokenize ONCE: `ws` is referenced 3× below, and CollapseProject keeps
+    // a multi-referenced non-cheap alias in its own projection (one regex
+    // split per row, not three)
+    val base = df.select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
+      .select(col("id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        round(lit(1.0) - size(array_distinct(col("__ws"))).cast("double")
+          / nullif(size(col("__ws")).cast("double"), lit(0.0)), 6).as("dup_word_frac"))
     val top = df.select(col(idCol).as("id"), explode(bigrams(col(textCol))).as("g"))
       .groupBy("id", "g").agg(count(lit(1)).as("c"))
       .groupBy("id").agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
