@@ -51,6 +51,17 @@ object SparkEntry {
     "o_orderstatus" -> Enum(Seq(core.JStr("O"), core.JStr("F"))),
     "o_orderpriority" -> Pattern("^[1-3]-")))
 
+  /** Combinator rule pack over orders (§2.5 made oracle-checkable): every
+    * oneOf outcome fires on real data — priorities 1-/2- match BOTH branches
+    * (`all_rules_match`), 3- exactly one (pass), 4-/5- none (two prefixed
+    * branch errors); if/then/else selects the bound by order size; `not`
+    * fires on status P. Messages include the reference's templated text
+    * (Error.pm:6-53), so the oracle pins prefixing + specials exactly. */
+  private val combinatorPack: Rule = Properties(Seq(
+    "o_totalprice" -> IfThenElse(Minimum(300000), Some(Maximum(450000)), Some(Minimum(50000))),
+    "o_orderpriority" -> OneOf(Seq(Pattern("^[1-2]-"), Pattern("^[1-3]-"))),
+    "o_orderstatus" -> Not(Enum(Seq(core.JStr("P"))))))
+
   /** Flagship: the lineitem rule-pack verdict on sf0.001 (driver smoke
     * checks rows > 0 — quantities above 45 exist at every sf). */
   def entry(spark: SparkSession): DataFrame =
@@ -523,7 +534,55 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("sum_value"))
-        .orderBy("bucket_start", "event_type"))
+        .orderBy("bucket_start", "event_type")),
+
+    "q11_sessionize" -> ((s, dir) =>
+      // gap-based sessionization (30-min idle gap): one shuffle on the
+      // entity key, two ordered window passes, microsecond-exact boundaries
+      pipeline.Sessions.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id",
+          gapSeconds = 1800)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts").cast("timestamp"))).as("start_us"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("end_us"),
+          round(sum(col("value").cast("decimal(20,6)")), 4).cast("double").as("sum_value"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_idx")),
+
+    "v16_combinators" -> ((s, dir) =>
+      Violations.validate(t(s, dir, "orders"), combinatorPack, Seq("o_orderkey"))
+        .select("o_orderkey", "path", "rule_id", "message", "observed")
+        .orderBy("o_orderkey", "path", "rule_id", "message")),
+
+    "p16_quality_gates" -> ((s, dir) =>
+      // corpus-cleaning decision column: first failing gate in fixed order
+      // (too_short → repetitive → no_lang → low_alpha), else keep — the
+      // composition of the p04/p05/p15-pinned signals a pipeline filters on
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.gateVerdict(col("text")).as("verdict"))
+        .orderBy("doc_id")),
+
+    "s07_neardup_groups" -> ((s, dir) => {
+      // embedding near-dup GROUPS: LSH-bounded pairs (s03's exact query) →
+      // large-star/small-star connected components; component = min vec_id.
+      // The oracle closes the same thresholded pair graph recursively.
+      val emb = t(s, dir, "embeddings")
+      val dup = emb.withColumn("vec_id", col("vec_id") + lit(100000L))
+      Similarity.nearDupComponents(emb.unionByName(dup), "vec_id", "embedding",
+          minCosine = 0.45, tables = 4, bitsPerTable = 6, dims = Some(64))
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    }),
+
+    "st02_stream_drift" -> ((s, dir) =>
+      // windowed drift monitor (batch twin of the streaming histogram path):
+      // PSI of each hourly window's value distribution vs the whole corpus
+      Drift.psiByGroup(
+          t(s, dir, "events").withColumn("bucket_start",
+            (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long")),
+          "bucket_start", "value", lo = 0.0, hi = 500.0, bins = 10)
+        .select(col("grp").as("bucket_start"), round(col("psi"), 6).as("psi6"))
+        .orderBy("bucket_start"))
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1112,6 +1171,118 @@ object SparkEntry {
     "st01_stream_window_batch" ->
       """SELECT CAST(floor(epoch(ts)/300) AS BIGINT)*300 AS bucket_start, event_type,
         | count(*) AS n, round(sum(CAST(value AS DECIMAL(20,6))),4)::DOUBLE AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+        |SELECT user_id, session_idx::BIGINT AS session_idx, count(*) AS n_events,
+        | min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS duration_us,
+        | round(sum(CAST(value AS DECIMAL(20,6))),4)::DOUBLE AS sum_value
+        |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "v16_combinators" ->
+      """SELECT * FROM (
+        | SELECT o_orderkey, '/o_totalprice' AS path, 'maximum' AS rule_id,
+        |   CAST(o_totalprice AS VARCHAR) || ' > maximum(450000)' AS message,
+        |   CAST(o_totalprice AS VARCHAR) AS observed
+        |  FROM orders WHERE o_totalprice >= 300000 AND o_totalprice > 450000
+        | UNION ALL SELECT o_orderkey, '/o_totalprice', 'minimum',
+        |   CAST(o_totalprice AS VARCHAR) || ' < minimum(50000)', CAST(o_totalprice AS VARCHAR)
+        |  FROM orders WHERE o_totalprice < 300000 AND o_totalprice < 50000
+        | UNION ALL SELECT o_orderkey, '/o_orderpriority', 'all_rules_match',
+        |   'All of the oneOf rules match.', o_orderpriority
+        |  FROM orders WHERE regexp_matches(o_orderpriority, '^[1-2]-')
+        | UNION ALL SELECT o_orderkey, '/o_orderpriority', 'pattern',
+        |   '/oneOf/0 String does not match ^[1-2]-.', o_orderpriority
+        |  FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        | UNION ALL SELECT o_orderkey, '/o_orderpriority', 'pattern',
+        |   '/oneOf/1 String does not match ^[1-3]-.', o_orderpriority
+        |  FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        | UNION ALL SELECT o_orderkey, '/o_orderstatus', 'not', 'Should not match.', o_orderstatus
+        |  FROM orders WHERE o_orderstatus = 'P'
+        |) t ORDER BY o_orderkey, path, rule_id, message""".stripMargin,
+
+    "p16_quality_gates" -> {
+      val scores = Seq(
+        "en" -> "\\b(the|and|of|to|in|is|that|it|you|for)\\b",
+        "de" -> "\\b(der|die|und|das|ist|nicht|mit|ein|ich|auf)\\b",
+        "fr" -> "\\b(le|la|et|les|des|une|est|que|pour|dans)\\b",
+        "es" -> "\\b(el|los|de|que|y|en|un|se|no|por)\\b")
+        .map { case (l, re) => s"len(regexp_extract_all(lower(text), '$re')) AS s_$l" }
+        .mkString(", ")
+      """WITH base AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / nullif(length(text), 0)::DOUBLE AS alpha_ratio
+        | FROM documents),
+        |sig AS (SELECT doc_id, text, len(ws) AS n_words,
+        |  1.0 - len(list_distinct(ws))::DOUBLE / nullif(len(ws), 0)::DOUBLE AS dupf, alpha_ratio
+        | FROM base),
+        |sc AS (SELECT doc_id, SCORES,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh FROM sig),
+        |m AS (SELECT *, greatest(s_en, s_de, s_fr, s_es, s_zh) AS mx FROM sc),
+        |lang AS (SELECT doc_id,
+        | CASE WHEN s_en = mx AND s_en > 0 THEN 'en'
+        |      WHEN s_de = mx AND s_de > 0 THEN 'de'
+        |      WHEN s_fr = mx AND s_fr > 0 THEN 'fr'
+        |      WHEN s_es = mx AND s_es > 0 THEN 'es'
+        |      WHEN s_zh = mx AND s_zh > 0 THEN 'zh'
+        |      ELSE 'und' END AS predicted FROM m)
+        |SELECT sig.doc_id,
+        | CASE WHEN COALESCE(n_words, 0) < 5 THEN 'too_short'
+        |      WHEN COALESCE(dupf, 0) > 0.2 THEN 'repetitive'
+        |      WHEN predicted = 'und' THEN 'no_lang'
+        |      WHEN COALESCE(alpha_ratio, 0) < 0.5 THEN 'low_alpha'
+        |      ELSE 'keep' END AS verdict
+        |FROM sig JOIN lang ON sig.doc_id = lang.doc_id ORDER BY sig.doc_id""".stripMargin
+        .replace("SCORES", scores)
+    },
+
+    "s07_neardup_groups" ->
+      // same pair graph as s03 (bit-identical buckets + cosine threshold),
+      // closed transitively — proves the distributed CC agrees exactly
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings),
+         |${lshOracleCtes(tables = 4, bits = 6)},
+         |cand AS (
+         | SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+         | FROM st a JOIN st c ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         |pairs AS (
+         | SELECT id_a, id_b,
+         |  list_aggregate(list_transform(range(1, len(qa.embedding) + 1),
+         |     i -> qa.embedding[i]::DOUBLE * qb.embedding[i]::DOUBLE), 'sum')
+         |   / nullif(qa.nrm * qb.nrm, 0) AS cosine
+         | FROM cand JOIN b qa ON cand.id_a = qa.vec_id JOIN b qb ON cand.id_b = qb.vec_id),
+         |sel AS (SELECT id_a, id_b FROM pairs WHERE cosine >= 0.45),
+         |bi AS (SELECT id_a AS src, id_b AS dst FROM sel
+         |       UNION ALL SELECT id_b, id_a FROM sel),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM bi
+         |  UNION
+         |  SELECT bi.dst, reach.lab FROM reach JOIN bi ON bi.src = reach.node)
+         |SELECT node AS vec_id, min(lab) AS component FROM reach
+         |GROUP BY node ORDER BY vec_id""".stripMargin,
+
+    "st02_stream_drift" ->
+      """WITH binned AS (SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS g,
+        |  CAST(least(greatest(floor((value - 0.0)/50.0), 0), 9) AS INT) AS bin
+        | FROM events WHERE value IS NOT NULL),
+        |gh AS (SELECT g, bin, count(*) AS n FROM binned GROUP BY 1, 2),
+        |gt AS (SELECT g, sum(n) AS t FROM gh GROUP BY 1),
+        |gl AS (SELECT bin, count(*) AS n FROM binned GROUP BY 1),
+        |glt AS (SELECT sum(n) AS t FROM gl),
+        |grid AS (SELECT gt.g, gt.t, gl.bin,
+        |   greatest(gl.n::DOUBLE / (SELECT t FROM glt), 1e-6) AS q FROM gt CROSS JOIN gl),
+        |j AS (SELECT grid.g,
+        |   greatest(COALESCE(gh.n, 0)::DOUBLE / grid.t, 1e-6) AS p, grid.q
+        |  FROM grid LEFT JOIN gh ON gh.g = grid.g AND gh.bin = grid.bin)
+        |SELECT g AS bucket_start, round(sum((p - q) * ln(p / q)), 6) AS psi6
+        |FROM j GROUP BY g ORDER BY g""".stripMargin
   )
 }

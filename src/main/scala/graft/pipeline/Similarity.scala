@@ -403,4 +403,18 @@ object Similarity {
         (dot(col("__va"), col("__v")) / nullif(col("__na") * col("__n"), lit(0.0))).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
+
+  /** Embedding near-dup GROUPS: [[nearDupPairsLsh]] pairs collapsed into
+    * connected components (large-star/small-star — O(log diameter) rounds,
+    * adversarial-chain safe). Output `(id, component)` with component = the
+    * group's minimum id, restricted to vectors in ≥ 1 near-dup pair — the
+    * artifact a cleaning pipeline keeps one representative per group from.
+    * Pair volume is LSH-bounded (Σ bucket², capped via `maxBucketSize`), so
+    * the component step never sees a cross product. */
+  def nearDupComponents(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, tables: Int = 8, bitsPerTable: Int = 8,
+      maxBucketSize: Option[Int] = None, dims: Option[Int] = None): DataFrame =
+    Dedup.connectedComponentsStar(
+      nearDupPairsLsh(df, idCol, vecCol, minCosine, tables, bitsPerTable,
+        maxBucketSize, dims).select(col("id_a"), col("id_b")))
 }

@@ -86,6 +86,36 @@ object TextAnalysis {
     }
   }
 
+  /** Duplicate-word fraction (1 − distinct/total over whitespace words) —
+    * the per-row Gopher repetition gate, shared with
+    * [[repetitionSignals]]'s oracle formula. NULL for empty docs. */
+  def dupWordFrac(text: Column): Column = {
+    val ws = words(text)
+    lit(1.0) - size(array_distinct(ws)).cast("double") /
+      nullif(size(ws), lit(0)).cast("double")
+  }
+
+  /** Corpus-cleaning verdict: evaluates the standard quality gates in a
+    * FIXED order and reports the first failing gate (or `keep`) — the
+    * decision column a cleaning pipeline filters/quarantines on. Everything
+    * is a per-row projection (no shuffle; rides the scan at any corpus
+    * size):
+    *
+    *  1. `too_short`  — fewer than `minWords` whitespace words,
+    *  2. `repetitive` — duplicate-word fraction above `maxDupFrac`,
+    *  3. `no_lang`    — language ID is `und` (no stopword profile matched),
+    *  4. `low_alpha`  — alphabetic-character ratio below `minAlpha`.
+    *
+    * The gate *signals* are the p04/p05/p15-oracle-pinned definitions, so
+    * the composed verdict stays engine-portable. */
+  def gateVerdict(text: Column, minWords: Int = 5, maxDupFrac: Double = 0.2,
+      minAlpha: Double = 0.5): Column =
+    when(coalesce(tokenCountWs(text), lit(0)) < minWords, lit("too_short"))
+      .when(coalesce(dupWordFrac(text), lit(0.0)) > maxDupFrac, lit("repetitive"))
+      .when(langId(text) === "und", lit("no_lang"))
+      .when(coalesce(alphaRatio(text), lit(0.0)) < minAlpha, lit("low_alpha"))
+      .otherwise(lit("keep"))
+
   /** Canonical document fingerprint: md5 of the whitespace-normalized
     * lower-cased text — the cheap exact-dedup key (Spark md5 == DuckDB md5). */
   def fingerprint(text: Column): Column =

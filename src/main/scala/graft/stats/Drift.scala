@@ -83,6 +83,44 @@ object Drift {
       .select(col("bin"), (col("n").cast("double") / col("total")).as("prop"))
   }
 
+  /** Per-group histogram over the same fixed binning: one partial-aggregated
+    * `groupBy(group, bin)` — the shuffle carries (group × bins) counter rows,
+    * never data rows, so the shape survives any corpus size. `group` is
+    * typically a tumbling-window start (the streaming-drift monitor's batch
+    * twin) or a data partition such as `source`. */
+  def histogramByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    val rawBin = floor((col(valueCol).cast("double") - lo) / width).cast("int")
+    val bin = least(greatest(rawBin, lit(0)), lit(bins - 1))
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"), bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** PSI of each group's value distribution against the WHOLE dataset's
+    * distribution (the "which window drifted?" monitor): per-group
+    * `sum((p−q)·ln(p/q))` over the globally-occupied bins, proportions
+    * epsilon-clamped exactly like [[psi]]. Two aggregations total — the
+    * global histogram (≤ `bins` rows, broadcast) and the per-group one —
+    * then a counters-only join; nothing rescans data per group. */
+  def psiByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      lo: Double, hi: Double, bins: Int, eps: Double = 1e-6): DataFrame = {
+    val gh = histogramByGroup(df, groupCol, valueCol, lo, hi, bins)
+    val gt = gh.groupBy("grp").agg(sum(col("n")).as("t"))
+    val q  = proportions(histogram(df, valueCol, lo, hi, bins))
+      .select(col("bin"), greatest(col("prop"), lit(eps)).as("q"))
+    // grid = every group × every globally-occupied bin, so a bin a group
+    // never hit still contributes its clamped (eps vs q) term
+    gt.crossJoin(broadcast(q))
+      .join(gh, Seq("grp", "bin"), "left")
+      .select(col("grp"),
+        greatest(coalesce(col("n"), lit(0L)).cast("double") / col("t"), lit(eps)).as("p"),
+        col("q"))
+      .groupBy("grp")
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+  }
+
   /** Drift verdict in the violation-row shape: fires when PSI exceeds
     * `threshold`. */
   def psiRule(reference: DataFrame, current: DataFrame, ruleId: String,

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import graft.SparkSuite
+import graft.stats.Drift
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Round-3 additions: gap sessionization, per-group (windowed) drift PSI,
+  * the composite quality-gate verdict, and embedding near-dup components. */
+class SessionsDriftGatesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("sessionize splits on the idle gap and numbers sessions per user") {
+    // user 1: events at minutes 0, 10, 20 | 90, 95 | 200 (gap = 30 min)
+    // user 2: events at minutes 0 | 1000
+    val df = Seq(
+      (1L, ts(0), 1L), (1L, ts(10), 2L), (1L, ts(20), 3L),
+      (1L, ts(90), 4L), (1L, ts(95), 5L), (1L, ts(200), 6L),
+      (2L, ts(0), 7L), (2L, ts(1000), 8L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = Sessions.sessionize(df, "user_id", "ts", "event_id", gapSeconds = 1800)
+      .select("user_id", "event_id", "session_idx")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (1L, 4L, 2L), (1L, 5L, 2L), (1L, 6L, 3L),
+      (2L, 7L, 1L), (2L, 8L, 2L)))
+  }
+
+  test("sessionize boundary: a gap of exactly gapSeconds stays in-session") {
+    val df = Seq((1L, ts(0), 1L), (1L, ts(30), 2L), (1L, ts(61), 3L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Sessions.sessionize(df, "user_id", "ts", "event_id", gapSeconds = 1800)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toSet
+    // 0→30 min = exactly 1800 s (not >), 30→61 min = 1860 s (> 1800)
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("sessionize is partition-invariant (total order via the tie column)") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    def run(parts: Int) =
+      Sessions.sessionize(events.repartition(parts), "user_id", "ts", "event_id", 1800L)
+        .select("event_id", "session_idx").as[(Long, Long)].collect().toSeq.sorted
+    assert(run(1) === run(13))
+  }
+
+  test("psiByGroup: identical halves score ~0, a shifted group scores high") {
+    // the baseline is the WHOLE corpus, so keep the drifted group small
+    // (5% of mass) — the healthy groups then sit near the global shape
+    val base = (1 to 2000).map(i => ("a", (i % 100).toDouble)) ++
+      (1 to 2000).map(i => ("b", (i % 100).toDouble)) ++
+      (1 to 200).map(i => ("c", 80.0 + (i % 20))) // mass shifted into the top bins
+    val df = base.toDF("grp", "v")
+    val psi = Drift.psiByGroup(df, "grp", "v", lo = 0.0, hi = 100.0, bins = 10)
+      .as[(String, Double)].collect().toMap
+    assert(psi("a") === psi("b")) // identical distributions → identical psi
+    assert(math.abs(psi("a")) < 0.05, s"uniform group drifted: ${psi("a")}")
+    assert(psi("c") > 1.0, s"shifted group should alert: ${psi("c")}")
+  }
+
+  test("psiByGroup agrees with the two-histogram Drift.psi for each group") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("grp", (col("user_id") % 3).cast("long"))
+    val byGroup = Drift.psiByGroup(events, "grp", "value", 0.0, 500.0, 10)
+      .as[(Long, Double)].collect().toMap
+    val global = Drift.histogram(events, "value", 0.0, 500.0, 10)
+    for (g <- byGroup.keys) {
+      val gh = Drift.histogram(events.where(col("grp") === g), "value", 0.0, 500.0, 10)
+      // (p−q)·ln(p/q) is symmetric in (p,q): same number both routes as long
+      // as every globally-occupied bin enters the grid
+      val direct = Drift.psi(gh, global).as[Double].head()
+      assert(math.abs(byGroup(g) - direct) < 1e-9, s"group $g: ${byGroup(g)} vs $direct")
+    }
+  }
+
+  test("gateVerdict applies gates in fixed order, first failure wins") {
+    val docs = Seq(
+      1L -> "too short",                                           // < 5 words
+      2L -> "spam spam spam spam spam spam spam spam",             // repetitive (and short-ish but ≥5)
+      3L -> "zzz qqq www rrr ttt yyy uuu iii",                     // no stopword profile → no_lang
+      4L -> "the 111 222 333 444 555 666 777 888 999 000 111",     // en stopword, digits → low_alpha
+      5L -> "the quick brown fox jumps over the lazy dog and runs for it")
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextAnalysis.gateVerdict(col("text")).as("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "too_short", 2L -> "repetitive", 3L -> "no_lang",
+      4L -> "low_alpha", 5L -> "keep"))
+  }
+
+  test("gateVerdict: degenerate inputs fail closed (empty/null → too_short)") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), TextAnalysis.gateVerdict(col("text")).as("v"))
+      .as[(Long, String)].collect().toMap
+    assert(got.values.toSet === Set("too_short"))
+  }
+
+  test("nearDupComponents groups transitive near-dups under the min id") {
+    // cluster A: 1,2,3 share the same direction; cluster B: 10,11; 20 alone
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() - 0.5f)
+    }
+    val a = vec(7); val b = vec(8); val c = vec(9)
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + eps * (if (i % 2 == 0) 1 else -1) * 0.001f }
+    val df = Seq(
+      (1L, a), (2L, jitter(a, 1)), (3L, jitter(a, 2)),
+      (10L, b), (11L, jitter(b, 1)),
+      (20L, c)
+    ).toDF("vec_id", "embedding")
+    val comp = Similarity.nearDupComponents(df, "vec_id", "embedding",
+        minCosine = 0.99, tables = 4, bitsPerTable = 4, dims = Some(8))
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+}
