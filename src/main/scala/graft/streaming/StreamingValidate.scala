@@ -99,4 +99,25 @@ object StreamingValidate {
         col("n_rows"), col("n_failed"),
         when(col("n_failed") === 0, "pass").otherwise("fail").as("verdict"))
   }
+
+  /** Tumbling-window fixed-bin histogram — the streaming drift monitor's
+    * sketch emitter. Each closed window yields its `(window_start, bin, n)`
+    * counter rows (bounded state: windows × bins longs); the monitor joins
+    * them against a stored reference histogram with [[graft.stats.Drift.psi]]
+    * — counts are exact integers, so the streamed sketch is bit-identical to
+    * the batch [[graft.stats.Drift.histogramByGroup]] over the same rows. */
+  def windowedHistogram(stream: DataFrame, tsCol: String, valueCol: String,
+      windowDuration: String, watermark: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    val width = (hi - lo) / bins
+    val rawBin = floor((col(valueCol).cast("double") - lo) / width).cast("int")
+    val bin = least(greatest(rawBin, lit(0)), lit(bins - 1))
+    stream
+      .where(col(valueCol).isNotNull)
+      .withColumn("__bin", bin)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration), col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("bin"), col("n"))
+  }
 }

@@ -122,6 +122,42 @@ class PlanAuditSpec extends SparkSuite {
     assert(hints <= 1, "only the nation dim may carry a broadcast hint")
   }
 
+  test("q11 sessionization shuffles ONCE on the entity key (agg reuses the window partitioning)") {
+    // window partitionBy(user_id) hash-partitions; the (user_id, session_idx)
+    // groupBy is satisfied by that same partitioning (subset-key clustering),
+    // so no second data shuffle may appear — at 10^12 events that second
+    // exchange would double the job's network cost
+    val df = SparkEntry.queries("q11_sessionize")(spark, dir)
+    df.collect()
+    val plan = planString(df).split("== Initial Plan ==")(0) // final plan only
+    val dataShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(dataShuffles === 1, s"expected exactly one hash exchange, got $dataShuffles")
+  }
+
+  test("p16 gate verdict rides the scan: no shuffle, pruned to (doc_id, text)") {
+    val df = SparkEntry.queries("p16_quality_gates")(spark, dir)
+    df.collect()
+    val plan = planString(df).split("== Initial Plan ==")(0)
+    assert(!plan.contains("hashpartitioning"), "gate verdict gained a shuffle")
+    assert(scans(df).forall(_.requiredSchema.fieldNames.toSet == Set("doc_id", "text")))
+  }
+
+  test("st02 windowed drift shuffles counters only, scan pruned to (ts, value)") {
+    val df = SparkEntry.queries("st02_stream_drift")(spark, dir)
+    df.collect()
+    assert(scans(df).forall(_.requiredSchema.fieldNames.toSet == Set("ts", "value")))
+    // the only joins are against the broadcast global histogram (≤ bins rows)
+    val plan = planString(df)
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"), "histogram join must not sort-merge data rows")
+  }
+
+  test("s07 embedding dedup groups never plans a cartesian") {
+    val plan = planString(SparkEntry.queries("s07_neardup_groups")(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("parquet-backed validation runs inside whole-stage codegen (no UDFs to break it)") {
     // `*(n)` node prefixes in the plan string = WholeStageCodegenExec spans;
     // AQE only inserts them into the FINAL plan, so execute first

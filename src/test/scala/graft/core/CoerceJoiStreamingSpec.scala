@@ -177,6 +177,45 @@ class CoerceJoiStreamingSpec extends SparkSuite {
     assert(got.count() > 100)
   }
 
+  test("streaming windowed histograms equal the batch sketch; PSI composes on top") {
+    // the drift-monitor contract behind st02: the stream emits per-window
+    // (bin, n) counters; counts are exact ints, so closed windows must be
+    // bit-identical to Drift.histogramByGroup over the same rows, and PSI
+    // computed from the streamed sketch equals the batch psiByGroup
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+    val q = StreamingValidate.windowedHistogram(stream, "ts", "value",
+        "1 hour", "1 minute", lo = 0.0, hi = 500.0, bins = 10)
+      .writeStream.format("memory").queryName("shist_e2e")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("shist_e2e")
+      .select(col("window_start").cast("long").as("grp"), col("bin"), col("n"))
+
+    val batchHist = graft.stats.Drift.histogramByGroup(
+      batch.withColumn("grp", (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long")),
+      "grp", "value", 0.0, 500.0, 10)
+    // closed windows: streamed ⊆ batch, bit-identical rows
+    assert(streamed.except(batchHist).count() === 0)
+    assert(streamed.count() > 100)
+
+    // PSI from the streamed sketch of one window == batch psiByGroup
+    val someGrp = streamed.agg(min(col("grp"))).head().getLong(0)
+    val winHist = streamed.where(col("grp") === someGrp).select("bin", "n")
+    val globalHist = graft.stats.Drift.histogram(batch, "value", 0.0, 500.0, 10)
+    val direct = graft.stats.Drift.psi(winHist, globalHist).as[Double].head()
+    val byGroup = graft.stats.Drift.psiByGroup(
+        batch.withColumn("grp", (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long")),
+        "grp", "value", 0.0, 500.0, 10)
+      .where(col("grp") === someGrp).select("psi").as[Double].head()
+    assert(math.abs(direct - byGroup) < 1e-9)
+  }
+
   test("streaming: windowed verdicts with watermark") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
