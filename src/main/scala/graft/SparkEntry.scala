@@ -582,7 +582,32 @@ object SparkEntry {
             (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long")),
           "bucket_start", "value", lo = 0.0, hi = 500.0, bins = 10)
         .select(col("grp").as("bucket_start"), round(col("psi"), 6).as("psi6"))
-        .orderBy("bucket_start"))
+        .orderBy("bucket_start")),
+
+    "v17_map_closed_world" -> ((s, dir) => {
+      import s.implicits._
+      // dynamic-object keyword battery over MapType (the reference's native
+      // hash regime): closed-world additionalProperties, propertyNames and
+      // maxProperties with RUNTIME keys. Key-violating fixtures ride along
+      // (the synthetic props only ever carry key "k").
+      val fixtures = Seq(
+        (900001L, """{"k": 42, "extra": 1}"""),
+        (900002L, """{"k": 42, "Bad-Key": 2, "zz9": 3}"""),
+        (900003L, """{"kk": 5, "k": 1}"""),
+        (900004L, """{"k": 12, "x_opt": 7}"""))
+        .toDF("event_id", "props")
+      val ev = t(s, dir, "events").select("event_id", "props").unionByName(fixtures)
+        .withColumn("p", from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
+      val rule = All(Seq(
+        ClosedWorld(Seq("k"), Seq("^x_"), None),   // additionalProperties: false, patternProperties ^x_
+        PropertyNames(Pattern("^[a-z][a-z0-9_]*$")),
+        MaxProperties(2)))
+      // observed is omitted: it renders the whole map (engine-specific text)
+      Violations.validateColumn(ev, rule, "p", Seq("event_id"))
+        .select("event_id", "path", "rule_id", "message")
+        .orderBy("event_id", "path", "rule_id", "message")
+    })
   )
 
   // ---------------------------------------------------------------- oracle
@@ -1283,6 +1308,32 @@ object SparkEntry {
         |   greatest(COALESCE(gh.n, 0)::DOUBLE / grid.t, 1e-6) AS p, grid.q
         |  FROM grid LEFT JOIN gh ON gh.g = grid.g AND gh.bin = grid.bin)
         |SELECT g AS bucket_start, round(sum((p - q) * ln(p / q)), 6) AS psi6
-        |FROM j GROUP BY g ORDER BY g""".stripMargin
+        |FROM j GROUP BY g ORDER BY g""".stripMargin,
+
+    "v17_map_closed_world" ->
+      """WITH all_ev AS (
+        | SELECT event_id, props FROM events
+        | UNION ALL SELECT * FROM (VALUES
+        |  (900001, '{"k": 42, "extra": 1}'),
+        |  (900002, '{"k": 42, "Bad-Key": 2, "zz9": 3}'),
+        |  (900003, '{"kk": 5, "k": 1}'),
+        |  (900004, '{"k": 12, "x_opt": 7}')) AS t(event_id, props)),
+        |k AS (SELECT event_id, regexp_extract_all(props, '"([^"]+)"\s*:', 1) AS keys FROM all_ev),
+        |x AS (SELECT event_id, keys,
+        |  list_sort(list_filter(keys, kk -> kk <> 'k' AND NOT regexp_matches(kk, '^x_'))) AS extras
+        | FROM k)
+        |SELECT * FROM (
+        | SELECT event_id, '/' AS path, 'additionalProperties' AS rule_id,
+        |   'Properties not allowed: ' || array_to_string(extras, ', ') || '.' AS message
+        | FROM x WHERE len(extras) > 0
+        | UNION ALL
+        | SELECT event_id, '/', 'pattern', 'String does not match ^[a-z][a-z0-9_]*$.'
+        | FROM (SELECT event_id, unnest(keys) AS kk FROM k) u
+        | WHERE NOT regexp_matches(kk, '^[a-z][a-z0-9_]*$')
+        | UNION ALL
+        | SELECT event_id, '/', 'maxProperties',
+        |   'Too many properties: ' || len(keys)::VARCHAR || '/2.'
+        | FROM k WHERE len(keys) > 2
+        |) t ORDER BY event_id, path, rule_id, message""".stripMargin
   )
 }
