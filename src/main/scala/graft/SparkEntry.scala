@@ -607,6 +607,41 @@ object SparkEntry {
       Violations.validateColumn(ev, rule, "p", Seq("event_id"))
         .select("event_id", "path", "rule_id", "message")
         .orderBy("event_id", "path", "rule_id", "message")
+    }),
+
+    "p17_char_entropy" -> ((s, dir) =>
+      // CCNet-style character-entropy gibberish gate; (doc, char) counter
+      // shuffle with partial agg — the same scale shape as p15's bigrams
+      TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_distinct_chars"),
+          round(col("entropy"), 6).as("entropy6"))
+        .orderBy("doc_id")),
+
+    "v18_format_battery2" -> ((s, _) => {
+      import s.implicits._
+      // second format battery: the calendar/structural formats v09 left out
+      // (duration, hostname, ipv6, int32/int64 exact ranges,
+      // relative-json-pointer, RFC3339 date-time incl. leap second and
+      // offset bounds) — same regexes evaluated in both engines
+      val fixtures = Seq(
+        (1, "P1Y2M3DT4H5M6S"), (2, "P"), (3, "PT0.5S"), (4, "P3W"),
+        (5, "example.com"), (6, "-bad.example"), (7, ("a." * 130) + "a"),
+        (8, "2001:db8::1"), (9, "1:2:3:4:5:6:7:8"), (10, ":::"), (11, "1::2::3"),
+        (12, "2147483647"), (13, "2147483648"),
+        (14, "9223372036854775807"), (15, "9223372036854775808"),
+        (16, "0#"), (17, "1/foo"), (18, "#/x"),
+        (19, "2024-02-29T23:59:60Z"), (20, "2024-02-29T24:00:00Z"),
+        (21, "2024-06-01 12:30:00+05:30"), (22, "2024-06-01T12:30:00+24:00"))
+      import graft.functions.Formats
+      fixtures.toDF("id", "s").select(col("id"), col("s"),
+          Formats.duration(col("s")).as("is_duration"),
+          Formats.hostname(col("s")).as("is_hostname"),
+          Formats.ipv6(col("s")).as("is_ipv6"),
+          Formats.int32(col("s")).as("is_int32"),
+          Formats.int64(col("s")).as("is_int64"),
+          Formats.relativeJsonPointer(col("s")).as("is_relptr"),
+          Formats.dateTime(col("s")).as("is_datetime"))
+        .orderBy("id")
     })
   )
 
@@ -1334,6 +1369,52 @@ object SparkEntry {
         | SELECT event_id, '/', 'maxProperties',
         |   'Too many properties: ' || len(keys)::VARCHAR || '/2.'
         | FROM k WHERE len(keys) > 2
-        |) t ORDER BY event_id, path, rule_id, message""".stripMargin
+        |) t ORDER BY event_id, path, rule_id, message""".stripMargin,
+
+    "p17_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents),
+        |cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n, count(*) AS n_distinct_chars FROM cnt GROUP BY 1)
+        |SELECT cnt.doc_id, n_distinct_chars,
+        | round(-sum((c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE)), 6) AS entropy6
+        |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "v18_format_battery2" -> {
+      import graft.functions.Formats
+      val dtRe = "^(\\d{4})-(\\d\\d)-(\\d\\d)[Tt ](\\d\\d):(\\d\\d):(\\d\\d)(\\.\\d+)?([Zz]|[+-]\\d\\d:\\d\\d)?$"
+      val h = "[0-9A-Fa-f]{1,4}"
+      s"""SELECT id, s,
+         | regexp_matches(s, '${Formats.durationRe}') AS is_duration,
+         | (len(s) BETWEEN 1 AND 253 AND regexp_matches(s, '${Formats.hostnameLabelsRe}')) AS is_hostname,
+         | ((regexp_matches(s, '^($h:){7}$h$$')
+         |   OR (regexp_matches(s, '^(($h:)*$h)?::(($h:)*$h)?$$') AND NOT regexp_matches(s, '::.*::')))
+         |  AND NOT regexp_matches(s, ':::')) AS is_ipv6,
+         | (regexp_matches(s, '^-?\\d+(\\.\\d+)?$$') AND regexp_matches(s, '^-?\\d+(\\.0*)?$$')
+         |  AND len(regexp_replace(s, '\\.\\d+$$', '')) <= 30
+         |  AND try_cast(regexp_replace(s, '\\.\\d+$$', '') AS DECIMAL(38,0))
+         |      BETWEEN -2147483648 AND 2147483647) AS is_int32,
+         | (regexp_matches(s, '^-?\\d+(\\.\\d+)?$$') AND regexp_matches(s, '^-?\\d+(\\.0*)?$$')
+         |  AND len(regexp_replace(s, '\\.\\d+$$', '')) <= 30
+         |  AND try_cast(regexp_replace(s, '\\.\\d+$$', '') AS DECIMAL(38,0))
+         |      BETWEEN -9223372036854775808 AND 9223372036854775807) AS is_int64,
+         | regexp_matches(s, '^\\d+(#$$|$$|/.*$$)') AS is_relptr,
+         | (regexp_matches(s, '$dtRe')
+         |  AND NOT regexp_matches(s, '[+-](2[4-9]|[3-9]\\d):\\d\\d$$')
+         |  AND NOT regexp_matches(s, '[+-]\\d\\d:(6\\d|[7-9]\\d)$$')
+         |  AND try_cast(regexp_extract(s, '$dtRe', 1) || '-' || regexp_extract(s, '$dtRe', 2)
+         |        || '-' || regexp_extract(s, '$dtRe', 3) AS DATE) IS NOT NULL
+         |  AND regexp_extract(s, '$dtRe', 4) < '24' AND regexp_extract(s, '$dtRe', 5) < '60'
+         |  AND regexp_extract(s, '$dtRe', 6) <= '60') AS is_datetime
+         |FROM (VALUES (1,'P1Y2M3DT4H5M6S'),(2,'P'),(3,'PT0.5S'),(4,'P3W'),
+         | (5,'example.com'),(6,'-bad.example'),(7,repeat('a.', 130) || 'a'),
+         | (8,'2001:db8::1'),(9,'1:2:3:4:5:6:7:8'),(10,':::'),(11,'1::2::3'),
+         | (12,'2147483647'),(13,'2147483648'),
+         | (14,'9223372036854775807'),(15,'9223372036854775808'),
+         | (16,'0#'),(17,'1/foo'),(18,'#/x'),
+         | (19,'2024-02-29T23:59:60Z'),(20,'2024-02-29T24:00:00Z'),
+         | (21,'2024-06-01 12:30:00+05:30'),(22,'2024-06-01T12:30:00+24:00')) AS t(id, s)
+         |ORDER BY id""".stripMargin
+    }
   )
 }

@@ -49,8 +49,9 @@ object Formats {
     def |+|(s: String): Column = concat(c, lit(s))
   }
 
-  /** ISO8601 duration (reference Formats.pm:50-66, regex ported structurally). */
-  def duration(c: Column): Column = {
+  /** ISO8601 duration regex (reference Formats.pm:50-66, ported
+    * structurally) — RE2-safe, shared with the SQL oracle. */
+  val durationRe: String = {
     val num  = "\\d+(?:[,.]\\d+)?"
     val sec  = s"${num}S"
     val min  = s"${num}M(?:$sec)?"
@@ -61,8 +62,9 @@ object Formats {
     val week = s"${num}W"
     val time = s"T(?:$hour|$min|$sec)"
     val dat  = s"(?:$day|$mon|$year)(?:$time)?"
-    re(c, s"^P(?:$dat|$time|$week)$$")
+    s"^P(?:$dat|$time|$week)$$"
   }
+  def duration(c: Column): Column = re(c, durationRe)
 
   /** RFC5322 email (reference Formats.pm:68-81; same structure in Java regex). */
   def email(c: Column): Column = {
@@ -92,11 +94,16 @@ object Formats {
   def double(c: Column): Column = number(c)
   def float(c: Column): Column  = number(c)
 
+  /** RFC1123 hostname label structure (no length lookahead — that part is
+    * the separate `length ≤ 253` conjunct, so the regex stays RE2-safe and
+    * the SQL oracle can share it verbatim). */
+  val hostnameLabelsRe: String =
+    "^[A-Za-z0-9]([A-Za-z0-9\\-]{0,61}[A-Za-z0-9])?(\\.[A-Za-z0-9]([A-Za-z0-9\\-]{0,61}[A-Za-z0-9])?)*$"
+
   /** RFC1123 hostname (reference delegates to Data::Validate::Domain,
     * Formats.pm:85-89; native here). */
   def hostname(c: Column): Column =
-    length(c) <= 253 &&
-      re(c, "^(?=.{1,253}$)[A-Za-z0-9]([A-Za-z0-9\\-]{0,61}[A-Za-z0-9])?(\\.[A-Za-z0-9]([A-Za-z0-9\\-]{0,61}[A-Za-z0-9])?)*$")
+    length(c) <= 253 && length(c) >= 1 && re(c, hostnameLabelsRe)
 
   def idnHostname(c: Column): Column = hostname(c) || re(c, "^[^\\x00-\\x7F].*")
   def idnEmail(c: Column): Column    = email(c) || (re(c, "^[^@]+@[^@]+$") && re(c, "[^\\x00-\\x7F]"))

@@ -116,6 +116,26 @@ object TextAnalysis {
       .when(coalesce(alphaRatio(text), lit(0.0)) < minAlpha, lit("low_alpha"))
       .otherwise(lit("keep"))
 
+  /** Character-distribution Shannon entropy per document (CCNet-style
+    * gibberish/boilerplate gate: natural prose sits ~2.5–4.5 nats, repeated
+    * filler and binary-ish junk fall outside). Explode-agg shape — the
+    * shuffle carries (doc, char) COUNTERS (≤ alphabet size per doc), with
+    * map-side partial aggregation; nothing quadratic, rides any corpus
+    * size. `(?s).` keeps newlines (RE2- and Java-identical tokenization).
+    * Output `(id, n_distinct_chars, entropy)` — entropy in nats. */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val chars = df.select(col(idCol).as("id"),
+      explode(regexp_extract_all(col(textCol), lit("(?s)."), lit(0))).as("ch"))
+    val cnt = chars.groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("id").agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_distinct_chars"))
+    val p = cnt("c").cast("double") / col("n").cast("double")
+    cnt.join(tot, "id")
+      .groupBy(col("id"), col("n_distinct_chars"))
+      .agg((-sum(p * log(p))).as("entropy"))
+  }
+
   /** Canonical document fingerprint: md5 of the whitespace-normalized
     * lower-cased text — the cheap exact-dedup key (Spark md5 == DuckDB md5). */
   def fingerprint(text: Column): Column =

@@ -98,6 +98,16 @@ class SessionsDriftGatesSpec extends SparkSuite {
     assert(got.values.toSet === Set("too_short"))
   }
 
+  test("charEntropy matches closed forms on degenerate and uniform docs") {
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
+      .select("id", "n_distinct_chars", "entropy")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(1L)._1 === 1L && math.abs(got(1L)._2 - 0.0) < 1e-12)
+    assert(got(2L)._1 === 2L && math.abs(got(2L)._2 - math.log(2)) < 1e-12)
+    assert(got(3L)._1 === 4L && math.abs(got(3L)._2 - math.log(4)) < 1e-12)
+  }
+
   test("nearDupComponents groups transitive near-dups under the min id") {
     // cluster A: 1,2,3 share the same direction; cluster B: 10,11; 20 alone
     def vec(seed: Int): Array[Float] = {
