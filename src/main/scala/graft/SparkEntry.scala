@@ -609,6 +609,16 @@ object SparkEntry {
         .orderBy("event_id", "path", "rule_id", "message")
     }),
 
+    "q12_cube_orders" -> ((s, dir) =>
+      // full grouping-set lattice with grouping_id — the multi-dimensional
+      // metrics rollup a per-(source, partition, …) audit report uses
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     "p17_char_entropy" -> ((s, dir) =>
       // CCNet-style character-entropy gibberish gate; (doc, char) counter
       // shuffle with partial agg — the same scale shape as p15's bigrams
@@ -1370,6 +1380,14 @@ object SparkEntry {
         |   'Too many properties: ' || len(keys)::VARCHAR || '/2.'
         | FROM k WHERE len(keys) > 2
         |) t ORDER BY event_id, path, rule_id, message""".stripMargin,
+
+    "q12_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | GROUPING(o_orderstatus, o_orderpriority)::BIGINT AS gid,
+        | count(*) AS n,
+        | round(sum(CAST(o_totalprice AS DECIMAL(20,4))),2)::DOUBLE AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "p17_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents),

@@ -98,6 +98,34 @@ class SessionsDriftGatesSpec extends SparkSuite {
     assert(got.values.toSet === Set("too_short"))
   }
 
+  test("sessionize agrees with a driver-side fold on random event logs") {
+    // property-style agreement with the obvious sequential oracle: sort a
+    // user's events, start a new session whenever the gap exceeds the
+    // threshold — the distributed window computation must match exactly
+    val rnd = new scala.util.Random(42)
+    val events = (1 to 2000).map { i =>
+      val user = rnd.nextInt(17).toLong
+      val t = rnd.nextInt(500000).toLong * 1000L // ms, duplicates likely
+      (user, new Timestamp(t), i.toLong)
+    }
+    val df = events.toDF("user_id", "ts", "event_id")
+    val gap = 30000L // 30 s
+    val got = Sessions.sessionize(df, "user_id", "ts", "event_id", gapSeconds = gap / 1000)
+      .select("user_id", "event_id", "session_idx")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+
+    val want = events.groupBy(_._1).flatMap { case (user, evs) =>
+      val ordered = evs.sortBy(e => (e._2.getTime, e._3))
+      var idx = 0L; var prev = Long.MinValue
+      ordered.map { case (_, ts, id) =>
+        if (prev == Long.MinValue || ts.getTime - prev > gap) idx += 1
+        prev = ts.getTime
+        (user, id) -> idx
+      }
+    }.toMap
+    assert(got === want)
+  }
+
   test("charEntropy matches closed forms on degenerate and uniform docs") {
     val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
     val got = TextAnalysis.charEntropy(docs, "doc_id", "text")
