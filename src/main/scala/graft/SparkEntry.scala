@@ -627,6 +627,37 @@ object SparkEntry {
           round(col("entropy"), 6).as("entropy6"))
         .orderBy("doc_id")),
 
+    "v20_numeric_battery" -> ((s, dir) => {
+      // the numeric keywords v01 left out: multipleOf (epsilon-compared on
+      // doubles, replicated formula in the oracle) and draft-6 EXCLUSIVE
+      // bounds with their distinct ex_minimum/ex_maximum messages
+      val rule = Properties(Seq(
+        "l_quantity" -> MultipleOf(7),
+        "l_discount" -> Maximum(0.07, exclusive = true),
+        "l_linenumber" -> Minimum(2, exclusive = true)))
+      Violations.validate(t(s, dir, "lineitem").where(col("l_quantity") >= 40),
+          rule, Seq("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "path", "rule_id", "message", "observed")
+        .orderBy("l_orderkey", "l_linenumber", "path")
+    }),
+
+    "v19_array_battery" -> ((s, dir) => {
+      // array keywords over a REAL array column (the word list of each
+      // document): min/maxItems, uniqueItems, contains with min/maxContains,
+      // and per-element items (maxLength with /<index> paths) — §2.2's array
+      // rows hash-compared against DuckDB list functions
+      val docs = t(s, dir, "documents")
+        .withColumn("arr", TextAnalysis.words(col("text")))
+      val rule = All(Seq(
+        MinItems(5), MaxItems(60), UniqueItems,
+        Contains(Pattern("^the$"), Some(1), Some(10)),
+        Items(MaxLength(12))))
+      // observed dropped: min/maxItems render the whole array (engine text)
+      Violations.validateColumn(docs, rule, "arr", Seq("doc_id"))
+        .select("doc_id", "path", "rule_id", "message")
+        .orderBy("doc_id", "path", "rule_id", "message")
+    }),
+
     "v18_format_battery2" -> ((s, _) => {
       import s.implicits._
       // second format battery: the calendar/structural formats v09 left out
@@ -1397,6 +1428,42 @@ object SparkEntry {
         | round(-sum((c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE)), 6) AS entropy6
         |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "v20_numeric_battery" ->
+      """SELECT * FROM (
+        | SELECT l_orderkey, l_linenumber, '/l_quantity' AS path, 'multipleOf' AS rule_id,
+        |   'Not multiple of 7.' AS message, CAST(l_quantity AS VARCHAR) AS observed
+        |  FROM lineitem
+        |  WHERE l_quantity >= 40
+        |    AND NOT (abs(l_quantity/7 - round(l_quantity/7, 0)) < 1e-9 * greatest(abs(l_quantity/7), 1.0))
+        | UNION ALL SELECT l_orderkey, l_linenumber, '/l_discount', 'ex_maximum',
+        |   CAST(l_discount AS VARCHAR) || ' >= maximum(0.07)', CAST(l_discount AS VARCHAR)
+        |  FROM lineitem WHERE l_quantity >= 40 AND NOT (l_discount < 0.07)
+        | UNION ALL SELECT l_orderkey, l_linenumber, '/l_linenumber', 'ex_minimum',
+        |   CAST(l_linenumber AS VARCHAR) || ' <= minimum(2)', CAST(l_linenumber AS VARCHAR)
+        |  FROM lineitem WHERE l_quantity >= 40 AND NOT (l_linenumber > 2)
+        |) t ORDER BY l_orderkey, l_linenumber, path""".stripMargin,
+
+    "v19_array_battery" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws FROM documents),
+        |m AS (SELECT doc_id, ws, len(list_filter(ws, x -> regexp_matches(x, '^the$'))) AS n_the FROM w)
+        |SELECT * FROM (
+        | SELECT doc_id, '/' AS path, 'minItems' AS rule_id,
+        |   'Not enough items: ' || len(ws)::VARCHAR || '/5.' AS message FROM w WHERE len(ws) < 5
+        | UNION ALL SELECT doc_id, '/', 'maxItems',
+        |   'Too many items: ' || len(ws)::VARCHAR || '/60.' FROM w WHERE len(ws) > 60
+        | UNION ALL SELECT doc_id, '/', 'uniqueItems', 'Unique items required.'
+        |  FROM w WHERE len(list_distinct(ws)) <> len(ws)
+        | UNION ALL SELECT doc_id, '/', 'minContains',
+        |   'Contains not enough items: ' || n_the::VARCHAR || '/1.' FROM m WHERE n_the < 1
+        | UNION ALL SELECT doc_id, '/', 'maxContains',
+        |   'Contains too many items: ' || n_the::VARCHAR || '/10.' FROM m WHERE n_the > 10
+        | UNION ALL SELECT doc_id, '/' || i::VARCHAR, 'maxLength',
+        |   'String is too long: ' || len(word)::VARCHAR || '/12.'
+        |  FROM (SELECT doc_id, unnest(ws) AS word, unnest(range(0, len(ws))) AS i FROM w) u
+        |  WHERE len(word) > 12
+        |) t ORDER BY doc_id, path, rule_id, message""".stripMargin,
 
     "v18_format_battery2" -> {
       import graft.functions.Formats
