@@ -627,6 +627,35 @@ object SparkEntry {
           round(col("entropy"), 6).as("entropy6"))
         .orderBy("doc_id")),
 
+    "v21_tuple_items" -> ((s, dir) => {
+      // positional (tuple) item schemas + additionalItems:false length cap
+      // over each document's word list: /0 must be ≥2 chars, /1 must start
+      // lowercase, anything past the tuple errs with the cap message
+      val docs = t(s, dir, "documents")
+        .withColumn("arr", TextAnalysis.words(col("text")))
+      val rule = TupleItems(Seq(MinLength(2), Pattern("^[a-z]")), None)
+      Violations.validateColumn(docs, rule, "arr", Seq("doc_id"))
+        .select("doc_id", "path", "rule_id", "message")
+        .orderBy("doc_id", "path", "rule_id")
+    }),
+
+    "v22_map_dependencies" -> ((s, dir) => {
+      import s.implicits._
+      // dependentRequired with RUNTIME map keys: key "k" present demands
+      // "k2"; fixtures cover satisfied / absent-dependee / violating shapes
+      val fixtures = Seq(
+        (900001L, """{"k": 5, "k2": 9}"""),
+        (900002L, """{"z": 1}"""),
+        (900003L, """{"k": 7}"""))
+        .toDF("event_id", "props")
+      val ev = t(s, dir, "events").select("event_id", "props").unionByName(fixtures)
+        .withColumn("p", from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
+      Violations.validateColumn(ev, DependentRequired(Seq("k" -> Seq("k2"))), "p", Seq("event_id"))
+        .select("event_id", "path", "rule_id", "message", "observed")
+        .orderBy("event_id")
+    }),
+
     "v20_numeric_battery" -> ((s, dir) => {
       // the numeric keywords v01 left out: multipleOf (epsilon-compared on
       // doubles, replicated formula in the oracle) and draft-6 EXCLUSIVE
@@ -1428,6 +1457,34 @@ object SparkEntry {
         | round(-sum((c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE)), 6) AS entropy6
         |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "v21_tuple_items" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS ws FROM documents)
+        |SELECT * FROM (
+        | SELECT doc_id, '/0' AS path, 'minLength' AS rule_id,
+        |   'String is too short: ' || len(ws[1])::VARCHAR || '/2.' AS message
+        |  FROM w WHERE len(ws) >= 1 AND len(ws[1]) < 2
+        | UNION ALL SELECT doc_id, '/1', 'pattern', 'String does not match ^[a-z].'
+        |  FROM w WHERE len(ws) >= 2 AND NOT regexp_matches(ws[2], '^[a-z]')
+        | UNION ALL SELECT doc_id, '/', 'additionalItems',
+        |   'Invalid number of items: ' || len(ws)::VARCHAR || '/2.'
+        |  FROM w WHERE len(ws) > 2
+        |) t ORDER BY doc_id, path, rule_id""".stripMargin,
+
+    "v22_map_dependencies" ->
+      """WITH all_ev AS (
+        | SELECT event_id, props FROM events
+        | UNION ALL SELECT * FROM (VALUES
+        |  (900001, '{"k": 5, "k2": 9}'),
+        |  (900002, '{"z": 1}'),
+        |  (900003, '{"k": 7}')) AS t(event_id, props)),
+        |has AS (SELECT event_id,
+        |  regexp_matches(props, '"k"\s*:') AS has_k,
+        |  regexp_matches(props, '"k2"\s*:') AS has_k2 FROM all_ev)
+        |SELECT event_id, '/k2' AS path, 'dependencies' AS rule_id,
+        | 'Missing property. Dependee: k.' AS message, 'null' AS observed
+        |FROM has WHERE has_k AND NOT has_k2 ORDER BY event_id""".stripMargin,
 
     "v20_numeric_battery" ->
       """SELECT * FROM (
