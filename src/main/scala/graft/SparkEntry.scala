@@ -627,6 +627,42 @@ object SparkEntry {
           round(col("entropy"), 6).as("entropy6"))
         .orderBy("doc_id")),
 
+    "v24_percentiles" -> ((s, dir) =>
+      // EXACT per-group percentiles (R-7 interpolation in both engines) —
+      // the oracle-checkable twin of the profile's percentile_approx KLL
+      // sketch, which stays the at-scale path (mergeable, one-pass)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.95D))").as("q"))
+        .select(col("l_returnflag"),
+          round(element_at(col("q"), 1), 6).as("p25"),
+          round(element_at(col("q"), 2), 6).as("p50"),
+          round(element_at(col("q"), 3), 6).as("p75"),
+          round(element_at(col("q"), 4), 6).as("p95"))
+        .orderBy("l_returnflag")),
+
+    "v23_pattern_props" -> ((s, dir) => {
+      import s.implicits._
+      // patternProperties with RUNTIME keys: every map key matching the
+      // regex applies the sub-schema to its value (partial match, like the
+      // reference); ^x_ keys carry bounds via fixtures, k$ keys via the
+      // real corpus (k ranges above 90 exist)
+      val fixtures = Seq(
+        (900001L, """{"k": 50, "x_a": 3, "x_b": 99}"""),
+        (900002L, """{"x_ok": 42}"""),
+        (900003L, """{"y": 1}"""))
+        .toDF("event_id", "props")
+      val ev = t(s, dir, "events").select("event_id", "props").unionByName(fixtures)
+        .withColumn("p", from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
+      val rule = PatternProperties(Seq(
+        "^x_" -> All(Seq(Minimum(10), Maximum(80))),
+        "k$" -> Maximum(90)))
+      Violations.validateColumn(ev, rule, "p", Seq("event_id"))
+        .select("event_id", "path", "rule_id", "message", "observed")
+        .orderBy("event_id", "path", "rule_id")
+    }),
+
     "v21_tuple_items" -> ((s, dir) => {
       // positional (tuple) item schemas + additionalItems:false length cap
       // over each document's word list: /0 must be ≥2 chars, /1 must start
@@ -1457,6 +1493,39 @@ object SparkEntry {
         | round(-sum((c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE)), 6) AS entropy6
         |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "v24_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        | round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        | round(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "v23_pattern_props" ->
+      """WITH all_ev AS (
+        | SELECT event_id, props FROM events
+        | UNION ALL SELECT * FROM (VALUES
+        |  (900001, '{"k": 50, "x_a": 3, "x_b": 99}'),
+        |  (900002, '{"x_ok": 42}'),
+        |  (900003, '{"y": 1}')) AS t(event_id, props)),
+        |xkv AS (SELECT event_id,
+        |  unnest(regexp_extract_all(props, '"(x_[^"]*)"\s*:\s*(-?\d+)', 1)) AS key,
+        |  unnest(regexp_extract_all(props, '"(x_[^"]*)"\s*:\s*(-?\d+)', 2))::INT AS v
+        | FROM all_ev),
+        |kkv AS (SELECT event_id,
+        |  unnest(regexp_extract_all(props, '"([^"]*k)"\s*:\s*(-?\d+)', 1)) AS key,
+        |  unnest(regexp_extract_all(props, '"([^"]*k)"\s*:\s*(-?\d+)', 2))::INT AS v
+        | FROM all_ev)
+        |SELECT * FROM (
+        | SELECT event_id, '/' || key AS path, 'minimum' AS rule_id,
+        |   v::VARCHAR || ' < minimum(10)' AS message, v::VARCHAR AS observed
+        |  FROM xkv WHERE v < 10
+        | UNION ALL SELECT event_id, '/' || key, 'maximum',
+        |   v::VARCHAR || ' > maximum(80)', v::VARCHAR FROM xkv WHERE v > 80
+        | UNION ALL SELECT event_id, '/' || key, 'maximum',
+        |   v::VARCHAR || ' > maximum(90)', v::VARCHAR FROM kkv WHERE v > 90
+        |) t ORDER BY event_id, path, rule_id""".stripMargin,
 
     "v21_tuple_items" ->
       """WITH w AS (SELECT doc_id,
