@@ -627,6 +627,21 @@ object SparkEntry {
           round(col("entropy"), 6).as("entropy6"))
         .orderBy("doc_id")),
 
+    "q13_asof_join" -> ((s, dir) => {
+      // point-in-time join: each event picks the customer's latest order at
+      // or before the event timestamp — union + carry-forward window (ONE
+      // shuffle, |L|+|R| rows, no range-join explosion); DuckDB's native
+      // ASOF JOIN is the oracle. Right side deduped per (customer, date).
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      pipeline.AsOf.joinAsOf(ev, "user_id", "ts", ord, "o_custkey", "o_orderdate",
+          payload = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("asof_o_orderkey"))
+        .orderBy("event_id")
+    }),
+
     "v24_percentiles" -> ((s, dir) =>
       // EXACT per-group percentiles (R-7 interpolation in both engines) —
       // the oracle-checkable twin of the profile's percentile_approx KLL
@@ -1493,6 +1508,14 @@ object SparkEntry {
         | round(-sum((c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE)), 6) AS entropy6
         |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q13_asof_join" ->
+      """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |             FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.o_orderkey AS asof_o_orderkey
+        |FROM events e ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     "v24_percentiles" ->
       """SELECT l_returnflag,

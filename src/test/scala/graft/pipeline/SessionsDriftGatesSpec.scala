@@ -136,6 +136,38 @@ class SessionsDriftGatesSpec extends SparkSuite {
     assert(got(3L)._1 === 4L && math.abs(got(3L)._2 - math.log(4)) < 1e-12)
   }
 
+  test("asOf join: latest at-or-before match, inclusive boundary, null when none") {
+    val left = Seq(
+      (1L, ts(10), 101L), // between r@5 and r@20 → matches r@5
+      (1L, ts(20), 102L), // exactly at r@20 → inclusive
+      (1L, ts(3), 103L),  // before any right row → null
+      (2L, ts(50), 104L)  // key with no right rows at all → null
+    ).toDF("k", "t", "left_id")
+    val right = Seq((1L, ts(5), 900L), (1L, ts(20), 901L), (3L, ts(1), 902L))
+      .toDF("k", "rt", "payload")
+    val got = AsOf.joinAsOf(left, "k", "t", right, "k", "rt", Seq("payload"))
+      .select("left_id", "asof_payload")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(101L -> Some(900L), 102L -> Some(901L),
+      103L -> None, 104L -> None))
+  }
+
+  test("asOf join plans a single hash shuffle (union + window, no join node)") {
+    val spark0 = spark
+    val ev = spark0.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("event_id", "user_id", "ts")
+    val ord = spark0.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val df = AsOf.joinAsOf(ev, "user_id", "ts", ord, "o_custkey", "o_orderdate", Seq("o_orderkey"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), "asOf must not plan a join node")
+    // the right-side dedup agg shuffles once; the window shuffles once
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"expected union+window shape, got $shuffles hash exchanges")
+  }
+
   test("nearDupComponents groups transitive near-dups under the min id") {
     // cluster A: 1,2,3 share the same direction; cluster B: 10,11; 20 alone
     def vec(seed: Int): Array[Float] = {
