@@ -39,15 +39,21 @@ object PipelineCli {
     // documents dominated by one repeated bigram or by duplicate words)
     val rep = TextAnalysis.repetitionSignals(exactDeduped, "doc_id", "text")
       .select(col("id").as("doc_id"), col("dup_word_frac"), col("top_bigram_frac"))
+    // char-entropy gibberish gate (CCNet-style): natural prose sits in a
+    // band; repeated filler falls below it, binary-ish junk above
+    val ent = TextAnalysis.charEntropy(exactDeduped, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("entropy"))
     val filtered = exactDeduped
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("predicted_lang", TextAnalysis.langId(col("text")))
       .where(col("quality") >= minQuality && col("predicted_lang") === lang)
       .join(rep, Seq("doc_id"), "left")
+      .join(ent, Seq("doc_id"), "left")
       .where(coalesce(col("dup_word_frac"), lit(0.0)) <= 0.9 &&
-        coalesce(col("top_bigram_frac"), lit(0.0)) <= 0.5)
+        coalesce(col("top_bigram_frac"), lit(0.0)) <= 0.5 &&
+        coalesce(col("entropy"), lit(3.0)).between(1.5, 6.0))
       .withColumn("text", TextAnalysis.redactPii(col("text")))
-      .drop("dup_word_frac", "top_bigram_frac")
+      .drop("dup_word_frac", "top_bigram_frac", "entropy")
     val n2 = filtered.count()
 
     // 3. near-dup collapse: banded MinHash pairs → components → keep min id
