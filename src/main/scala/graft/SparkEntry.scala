@@ -642,6 +642,29 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "v25_uri_battery" -> ((s, _) => {
+      import s.implicits._
+      // the URI family + IDN fallbacks: RFC3986 structural checks (scheme
+      // shape, authority/path interaction, %-escape hex validity, fragment
+      // rules) replicated conjunct-for-conjunct in the oracle
+      val fixtures = Seq(
+        (1, "http://example.com/a/b?x=1#frag"), (2, "/relative/path"),
+        (3, "//host/path"), (4, "http://ex%zzample.com"), (5, "ht tp://x"),
+        (6, "mailto:user@example.com"), (7, "pré/vu"), (8, "x:"),
+        (9, "#frag"), (10, ""), (11, "http://ex.com/{id}"),
+        (12, "ünchen.example"), (13, "example.com"),
+        (14, "üser@example.com"), (15, "user@@double.at"))
+      import graft.functions.Formats
+      fixtures.toDF("id", "s").select(col("id"), col("s"),
+          Formats.uri(col("s")).as("is_uri"),
+          Formats.uriReference(col("s")).as("is_uriref"),
+          Formats.iri(col("s")).as("is_iri"),
+          Formats.uriTemplate(col("s")).as("is_uritmpl"),
+          Formats.idnHostname(col("s")).as("is_idnhost"),
+          Formats.idnEmail(col("s")).as("is_idnemail"))
+        .orderBy("id")
+    }),
+
     "v24_percentiles" -> ((s, dir) =>
       // EXACT per-group percentiles (R-7 interpolation in both engines) —
       // the oracle-checkable twin of the profile's percentile_approx KLL
@@ -1516,6 +1539,43 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "v25_uri_battery" -> {
+      import graft.functions.Formats
+      // the RFC3986 split regex (all-optional groups: matches any string)
+      val P = """^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?"""
+      def g(i: Int) = s"regexp_extract(s, '$P', $i)"
+      val hasAuth = """regexp_matches(s, '^([^:/?#]+:)?//')"""
+      val uriref =
+        s"""((len(${g(2)}) > 0 OR NOT $hasAuth OR len(${g(4)}) = 0)
+           | AND (regexp_matches(s, '#') OR len(${g(5)}) > 0 OR len(${g(2)}) > 0)
+           | AND (len(${g(2)}) = 0 OR regexp_matches(${g(2)}, '^[A-Za-z][A-Za-z0-9+\\-.]*$$'))
+           | AND NOT regexp_matches(s, '%[^0-9A-Fa-f]')
+           | AND NOT regexp_matches(s, '%[0-9A-Fa-f]([^0-9A-Fa-f]|$$)')
+           | AND CASE WHEN $hasAuth AND len(${g(4)}) > 0
+           |      THEN (len(${g(5)}) = 0 OR regexp_matches(${g(5)}, '^/'))
+           |      ELSE NOT regexp_matches(${g(5)}, '^//') END)""".stripMargin
+      val iriSql = s"(regexp_matches(s, '^\\w+:') AND $uriref)"
+      val emailAtom = "[a-zA-Z0-9_!#$%&''*+/=?^`{}~|\\-]+"
+      val emailRe = s"^(?:$emailAtom(?:\\.$emailAtom)*)@(?:$emailAtom(?:\\.$emailAtom)*)$$"
+      s"""SELECT id, s,
+         | (NOT regexp_matches(s, '[^\\x00-\\x7F]')
+         |  AND regexp_matches(s, '^[A-Za-z][A-Za-z0-9+\\-.]*:') AND $uriref) AS is_uri,
+         | $uriref AS is_uriref,
+         | $iriSql AS is_iri,
+         | $iriSql AS is_uritmpl,
+         | ((len(s) BETWEEN 1 AND 253 AND regexp_matches(s, '${Formats.hostnameLabelsRe}'))
+         |  OR regexp_matches(s, '^[^\\x00-\\x7F].*')) AS is_idnhost,
+         | (regexp_matches(s, '$emailRe')
+         |  OR (regexp_matches(s, '^[^@]+@[^@]+$$') AND regexp_matches(s, '[^\\x00-\\x7F]'))) AS is_idnemail
+         |FROM (VALUES (1,'http://example.com/a/b?x=1#frag'),(2,'/relative/path'),
+         | (3,'//host/path'),(4,'http://ex%zzample.com'),(5,'ht tp://x'),
+         | (6,'mailto:user@example.com'),(7,'pré/vu'),(8,'x:'),
+         | (9,'#frag'),(10,''),(11,'http://ex.com/{id}'),
+         | (12,'ünchen.example'),(13,'example.com'),
+         | (14,'üser@example.com'),(15,'user@@double.at')) AS t(id, s)
+         |ORDER BY id""".stripMargin
+    },
 
     "v24_percentiles" ->
       """SELECT l_returnflag,
