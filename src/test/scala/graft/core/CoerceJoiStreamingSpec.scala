@@ -216,6 +216,29 @@ class CoerceJoiStreamingSpec extends SparkSuite {
     assert(math.abs(direct - byGroup) < 1e-9)
   }
 
+  test("streaming referential violations equal the batch anti-join (stream-static)") {
+    // the referential rule class on a stream: the same broadcast anti-join
+    // against the static dimension, micro-batch by micro-batch
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val dim = spark.read.parquet(s"$dir/customer.parquet").where(col("c_custkey") < 8)
+
+    val q = graft.global.Referential.violations(stream, "user_id", dim, "c_custkey")
+      .select("event_id", "user_id")
+      .writeStream.format("memory").queryName("sref_e2e")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sref_e2e")
+
+    val batch = graft.global.Referential.violations(
+        spark.read.parquet(s"$dir/events.parquet"), "user_id", dim, "c_custkey")
+      .select("event_id", "user_id")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+  }
+
   test("streaming: windowed verdicts with watermark") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
