@@ -642,6 +642,37 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "v26_verdict_by_source" -> ((s, dir) =>
+      // the north rule's headline output: per-data-partition pass/fail
+      // verdicts — one partial-aggregated job, counters-only shuffle
+      Violations.verdictByPartition(t(s, dir, "documents"),
+          Properties(Seq(
+            "lang" -> Enum(Seq(core.JStr("en"), core.JStr("de"))),
+            "n_chars" -> Maximum(500))), Some("source"))
+        .withColumnRenamed("partition", "source")
+        .orderBy("source")),
+
+    "m02_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      // frame-sampling plumbing: fixed-size byte frames, every stride-th
+      // kept (codec stubbed to byte slicing; the partition/index math is
+      // the real, oracle-checked part)
+      Multimodal.sampleFrames(
+          Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"),
+          frameBytes = 16, stride = 4)
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("frame_bytes").cast("long").as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    "p18_vocab_topk" -> ((s, dir) =>
+      // corpus vocabulary: classic map-side-combine word count, top-k with
+      // a total order for determinism
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.words(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(100)),
+
     "v25_uri_battery" -> ((s, _) => {
       import s.implicits._
       // the URI family + IDN fallbacks: RFC3986 structural checks (scheme
@@ -1539,6 +1570,30 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "v26_verdict_by_source" ->
+      """WITH f AS (SELECT source,
+        |  CASE WHEN lang NOT IN ('en','de') OR n_chars > 500 THEN 1 ELSE 0 END AS failed
+        | FROM documents)
+        |SELECT source, count(*) AS n_rows,
+        | sum(failed)::BIGINT AS n_failed,
+        | (count(*) - sum(failed))::BIGINT AS n_passed,
+        | CASE WHEN sum(failed) = 0 THEN 'pass' ELSE 'fail' END AS verdict
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "m02_frame_sample" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n,
+        |  unnest(range(0, CAST(ceil(n::DOUBLE / 16) AS BIGINT))) AS frame_idx FROM b)
+        |SELECT doc_id, frame_idx,
+        | least(16, n - frame_idx * 16)::BIGINT AS frame_bytes
+        |FROM f WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "p18_vocab_topk" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  x -> len(x) > 0)) AS word FROM documents)
+        |SELECT word, count(*) AS n FROM w GROUP BY word
+        |ORDER BY n DESC, word LIMIT 100""".stripMargin,
 
     "v25_uri_battery" -> {
       import graft.functions.Formats
