@@ -642,6 +642,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "v27_rulepack_e2e" -> ((s, dir) => {
+      // the full front door in the oracle gate: a JSON rule pack with a
+      // $ref through $defs is PARSED + RESOLVED (driver-side, reference
+      // Schema.pm:102-147 semantics) and must compile to exactly the rules
+      // the v02 oracle describes — same violations, different entry path
+      val pack = rulepack.RulePack.parse(
+        """{"type": "object",
+          |  "$defs": {"status": {"enum": ["O", "F"]}},
+          |  "properties": {
+          |    "o_orderstatus": {"$ref": "#/$defs/status"},
+          |    "o_orderpriority": {"pattern": "^[1-3]-"}}}""".stripMargin)
+      Violations.validate(t(s, dir, "orders"), pack, Seq("o_orderkey"))
+        .select("o_orderkey", "path", "rule_id", "observed")
+        .orderBy("o_orderkey", "path")
+    }),
+
     "v26_verdict_by_source" -> ((s, dir) =>
       // the north rule's headline output: per-data-partition pass/fail
       // verdicts — one partial-aggregated job, counters-only shuffle
@@ -1570,6 +1586,17 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "v27_rulepack_e2e" ->
+      // identical semantics to v02, arrived at through parse + $ref
+      // resolution instead of the Scala rule ADT
+      """SELECT * FROM (
+        | SELECT o_orderkey, '/o_orderstatus' AS path, 'enum' AS rule_id, o_orderstatus AS observed
+        |  FROM orders WHERE o_orderstatus NOT IN ('O','F')
+        | UNION ALL
+        | SELECT o_orderkey, '/o_orderpriority', 'pattern', o_orderpriority
+        |  FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        |) t ORDER BY o_orderkey, path""".stripMargin,
 
     "v26_verdict_by_source" ->
       """WITH f AS (SELECT source,
