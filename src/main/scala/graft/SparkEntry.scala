@@ -642,6 +642,13 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "v28_skew_report" -> ((s, dir) =>
+      // the measurement behind the broadcast/shuffle/SALT ladder: heaviest
+      // join keys and their row share (v05's salting is the remedy)
+      Referential.keySkewReport(t(s, dir, "events"), "user_id", k = 10)
+        .select(col("user_id"), col("n"), round(col("share"), 6).as("share6"))
+        .orderBy(col("n").desc, col("user_id"))),
+
     "v27_rulepack_e2e" -> ((s, dir) => {
       // the full front door in the oracle gate: a JSON rule pack with a
       // $ref through $defs is PARSED + RESOLVED (driver-side, reference
@@ -1586,6 +1593,13 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "v28_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events
+        |           WHERE user_id IS NOT NULL GROUP BY user_id),
+        |t AS (SELECT sum(n)::DOUBLE AS total FROM c)
+        |SELECT user_id, n, round(n::DOUBLE / (SELECT total FROM t), 6) AS share6
+        |FROM c ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
 
     "v27_rulepack_e2e" ->
       // identical semantics to v02, arrived at through parse + $ref

@@ -49,6 +49,22 @@ object Referential {
       .drop("__salt")
   }
 
+  /** Key-skew diagnosis: the top-k heaviest join keys with their share of
+    * all rows — the measurement behind the broadcast/shuffle/salt ladder
+    * choice (salt when one key's share would overload a reducer). One
+    * partial-aggregated groupBy; the top-k sort runs on the counter table,
+    * never the data. */
+  def keySkewReport(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col(keyCol), col("n"),
+        (col("n").cast("double") / col("__total")).as("share"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+  }
+
   /** Violation rows in the engine's standard shape. */
   def violationRows(facts: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
       idCols: Seq[String], ruleId: String = "referential",

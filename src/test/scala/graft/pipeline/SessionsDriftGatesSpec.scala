@@ -168,6 +168,14 @@ class SessionsDriftGatesSpec extends SparkSuite {
     assert(shuffles <= 2, s"expected union+window shape, got $shuffles hash exchanges")
   }
 
+  test("connectedComponentsStar: empty and single-pair edge sets") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponentsStar(empty).count() === 0)
+    val one = Seq((7L, 3L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponentsStar(one).as[(Long, Long)].collect().toMap
+    assert(comp === Map(7L -> 3L, 3L -> 3L))
+  }
+
   test("nearDupComponents groups transitive near-dups under the min id") {
     // cluster A: 1,2,3 share the same direction; cluster B: 10,11; 20 alone
     def vec(seed: Int): Array[Float] = {
