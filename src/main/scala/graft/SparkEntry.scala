@@ -619,6 +619,18 @@ object SparkEntry {
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    "p19_simhash_neardup" -> ((s, dir) => {
+      // SimHash fingerprint → byte-band candidates → exact Hamming ≤ 3:
+      // pigeonhole (4 bands, ≤3 differing bits) makes recall exact. True
+      // dups injected for a slice (text copied at id+100000 → hamming 0).
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val dup = docs.where(col("doc_id") < 200)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+      Dedup.simhashNearDupPairs(docs.unionByName(dup), "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "p17_char_entropy" -> ((s, dir) =>
       // CCNet-style character-entropy gibberish gate; (doc, char) counter
       // shuffle with partial agg — the same scale shape as p15's bigrams
@@ -1576,6 +1588,26 @@ object SparkEntry {
         | round(sum(CAST(o_totalprice AS DECIMAL(20,4))),2)::DOUBLE AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "p19_simhash_neardup" -> {
+      val votes = (0 until 32).map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b").mkString(", ")
+      val fp = (0 until 32).map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      val bandVals = (0 until 4).map(b => s"(simhash >> ${8 * b}) & 255").mkString(", ")
+      s"""WITH all_docs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200),
+         |w AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |  x -> len(x) > 0)) AS word FROM all_docs),
+         |h AS (SELECT doc_id, ('0x' || substr(md5('0:' || word), 1, 8))::BIGINT AS hv FROM w),
+         |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v),
+         |bands AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS b,
+         |          unnest([$bandVals]) AS bv FROM sh),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |          x.simhash AS sa, y.simhash AS sb
+         |         FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "p17_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents),

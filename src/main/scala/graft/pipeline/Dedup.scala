@@ -398,4 +398,26 @@ object Dedup {
         (0 until 32).map(b => when(col(s"v_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
+
+  /** SimHash near-dup PAIRS via byte banding: the 32-bit fingerprint splits
+    * into 4 bytes; candidates share ≥1 byte-band, then the exact Hamming
+    * distance filters. Pigeonhole makes recall EXACT for
+    * `maxHamming ≤ 3`: 3 differing bits can touch at most 3 of the 4
+    * bands, so every true pair collides somewhere — no pair is missed, and
+    * candidate volume stays Σ bucket² per band value, never N². */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, family: HashFamily = Md5Portable): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for maxHamming <= 3")
+    val sigs = simhashSignatures(df, idCol, textCol, family)
+    val bands = sigs.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"), shiftright(col("simhash"), 8 * b).bitwiseAND(0xff).as("v"))): _*)).as("e"))
+      .select(col("id"), col("simhash"), col("e.b").as("b"), col("e.v").as("v"))
+    val x = bands.select(col("id").as("id_a"), col("simhash").as("sa"), col("b"), col("v"))
+    val y = bands.select(col("id").as("id_b"), col("simhash").as("sb"), col("b"), col("v"))
+    x.join(y, Seq("b", "v")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming32(col("sa"), col("sb")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -168,6 +168,20 @@ class SessionsDriftGatesSpec extends SparkSuite {
     assert(shuffles <= 2, s"expected union+window shape, got $shuffles hash exchanges")
   }
 
+  test("simhashNearDupPairs: exact recall on injected dups (pigeonhole, hamming 0)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 50)
+    val dup = docs.withColumn("doc_id", col("doc_id") + lit(100000L))
+    val pairs = Dedup.simhashNearDupPairs(docs.unionByName(dup), "doc_id", "text")
+      .as[(Long, Long, Int)].collect()
+    val found = pairs.collect { case (a, b, 0) if b == a + 100000L => a }.toSet
+    // docs with at least one word get a fingerprint; identical text MUST
+    // collide in every band and land at hamming 0 — none may be missed
+    val expected = docs.where(size(TextAnalysis.words(col("text"))) > 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(found === expected)
+  }
+
   test("connectedComponentsStar: empty and single-pair edge sets") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Dedup.connectedComponentsStar(empty).count() === 0)
