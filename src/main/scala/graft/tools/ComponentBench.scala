@@ -11,12 +11,9 @@ import org.apache.spark.sql.SparkSession
 object ComponentBench {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
-    val dataDir = args(1)
+    val dataDir = args(1) // "-" skips the token-audit legs
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
     val spark = graft.GraftSession.get(cores.toString, "graft-component")
-    val facts = spark.read.parquet(dataDir)
-    val dim = TokenGen.allowedSources(spark)
-    val pack = AuditCli.tokenRulePack(maxLen = 8192)
 
     def time(name: String)(f: => Unit): Unit = {
       f // warm
@@ -26,14 +23,36 @@ object ComponentBench {
       println(f"[component] $name@$cores: ${ts.min}%.2f s")
     }
 
-    time("scan_only")(facts.count())
-    time("decode_tokens")(facts.agg(org.apache.spark.sql.functions.sum(
-      org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("tokens")))).collect())
-    time("validate")(Violations.validate(facts, pack, Seq("doc_id")).count())
-    time("uniqueness")(Uniqueness.duplicateKeys(facts, Seq("doc_id")).count())
-    time("uniqueness_hashed")(Uniqueness.duplicateKeysHashed(facts, Seq("doc_id")).count())
-    time("referential")(Referential.violations(facts, "source", dim, "source").count())
-    time("stats")(ColumnStats.profile(facts).count())
+    if (dataDir != "-") {
+      val facts = spark.read.parquet(dataDir)
+      val dim = TokenGen.allowedSources(spark)
+      val pack = AuditCli.tokenRulePack(maxLen = 8192)
+      time("scan_only")(facts.count())
+      time("decode_tokens")(facts.agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.col("tokens")))).collect())
+      time("validate")(Violations.validate(facts, pack, Seq("doc_id")).count())
+      time("uniqueness")(Uniqueness.duplicateKeys(facts, Seq("doc_id")).count())
+      time("uniqueness_hashed")(Uniqueness.duplicateKeysHashed(facts, Seq("doc_id")).count())
+      time("referential")(Referential.violations(facts, "source", dim, "source").count())
+      time("stats")(ColumnStats.profile(facts).count())
+    }
+
+    // Hash-family A/B on the dedup hot loop: the CHECKED queries pin the
+    // engine-portable md5 family so DuckDB can replay them; production runs
+    // the codegen'd xxhash64 family. This measures what the oracle costs.
+    val docsPath = args.lift(4).getOrElse("/root/testdata/sf0.1/documents.parquet")
+    if (new java.io.File(docsPath).exists) {
+      import graft.pipeline.Dedup
+      val docs = spark.read.parquet(docsPath)
+      time("minhash_pairs_md5")(Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 8, family = Dedup.Md5Portable).count())
+      time("minhash_pairs_xx")(Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 8, family = Dedup.XxFast).count())
+      time("simhash_pairs_md5")(Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        family = Dedup.Md5Portable).count())
+      time("simhash_pairs_xx")(Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+        family = Dedup.XxFast).count())
+    }
 
     // SQ8 bandwidth probe: the ANN shortlist pass over the 1-byte-per-dim
     // codes artifact vs the identical pass over the float column, both read
