@@ -654,6 +654,66 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "v29_rulepack_yaml" -> ((s, dir) => {
+      // YAML front door (str2data sniffing, reference Util.pm:163-167):
+      // the v01 lineitem pack expressed as YAML must produce identical
+      // rule counts
+      val pack = rulepack.RulePack.parseYaml(
+        """type: object
+          |properties:
+          |  l_quantity:
+          |    minimum: 1
+          |    maximum: 45
+          |  l_discount:
+          |    maximum: 0.05
+          |  l_tax:
+          |    maximum: 0.1
+          |  l_returnflag:
+          |    enum: ["A", "N"]
+          |  l_linestatus:
+          |    enum: ["O", "F"]
+          |required: ["l_orderkey", "l_partkey"]""".stripMargin)
+      Violations.ruleCounts(
+        Violations.validate(t(s, dir, "lineitem"), pack, Seq("l_orderkey")))
+        .orderBy("path", "rule_id")
+    }),
+
+    "v30_rulepack_bundle" -> ((s, dir) => {
+      // bundle round-trip in the gate: encode the resolved pack to a
+      // self-contained JSON document (Schema.pm:44-65 bundle semantics),
+      // re-parse it, and the violations must still hash-match
+      val bundled = rulepack.RulePackEncoder.encodeToJson(ordersPack)
+      Violations.validate(t(s, dir, "orders"), rulepack.RulePack.parse(bundled), Seq("o_orderkey"))
+        .select("o_orderkey", "path", "rule_id", "observed")
+        .orderBy("o_orderkey", "path")
+    }),
+
+    "v31_coerce_defaults" -> ((s, dir) => {
+      import s.implicits._
+      // defaults coercion (non-mutating repair projection): a missing map
+      // key takes the schema default; fixtures supply the missing-key rows
+      val fixtures = Seq((900001L, """{}"""), (900002L, """{"z": 9}"""))
+        .toDF("event_id", "props")
+      val ev = t(s, dir, "events").select("event_id", "props").unionByName(fixtures)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      ev.select(col("event_id"),
+          core.Coerce.defaults(col("k"), core.JInt(50), org.apache.spark.sql.types.IntegerType)
+            .as("k_coerced"))
+        .orderBy("event_id")
+    }),
+
+    "v32_joi_pack" -> ((s, dir) => {
+      // the Joi fluent builder front door: lowers to the same Rule ADT and
+      // through the same compiler (reference Joi.pm:29-40 compile)
+      import graft.joi.joi
+      val pack = joi.obj.props(
+        "c_acctbal" -> joi.number.positive,
+        "c_name" -> joi.string.pattern("^Customer#")).rule
+      Violations.validate(t(s, dir, "customer"), pack, Seq("c_custkey"))
+        .select("c_custkey", "path", "rule_id", "message", "observed")
+        .orderBy("c_custkey", "path")
+    }),
+
     "v28_skew_report" -> ((s, dir) =>
       // the measurement behind the broadcast/shuffle/SALT ladder: heaviest
       // join keys and their row share (v05's salting is the remedy)
@@ -1625,6 +1685,46 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN ord o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "v29_rulepack_yaml" ->
+      // same semantics as v01, arrived at through the YAML front door
+      """SELECT * FROM (
+        | SELECT '/l_quantity' AS path, 'maximum' AS rule_id, count(*) AS n_violations FROM lineitem WHERE l_quantity > 45
+        | UNION ALL SELECT '/l_quantity', 'minimum', count(*) FROM lineitem WHERE l_quantity < 1
+        | UNION ALL SELECT '/l_discount', 'maximum', count(*) FROM lineitem WHERE l_discount > 0.05
+        | UNION ALL SELECT '/l_tax', 'maximum', count(*) FROM lineitem WHERE l_tax > 0.1
+        | UNION ALL SELECT '/l_returnflag', 'enum', count(*) FROM lineitem WHERE l_returnflag NOT IN ('A','N')
+        | UNION ALL SELECT '/l_linestatus', 'enum', count(*) FROM lineitem WHERE l_linestatus NOT IN ('O','F')
+        |) t WHERE n_violations > 0 ORDER BY path, rule_id""".stripMargin,
+
+    "v30_rulepack_bundle" ->
+      // same semantics as v02, arrived at through encode → re-parse
+      """SELECT * FROM (
+        | SELECT o_orderkey, '/o_orderstatus' AS path, 'enum' AS rule_id, o_orderstatus AS observed
+        |  FROM orders WHERE o_orderstatus NOT IN ('O','F')
+        | UNION ALL
+        | SELECT o_orderkey, '/o_orderpriority', 'pattern', o_orderpriority
+        |  FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        |) t ORDER BY o_orderkey, path""".stripMargin,
+
+    "v31_coerce_defaults" ->
+      """WITH all_ev AS (
+        | SELECT event_id, props FROM events
+        | UNION ALL SELECT * FROM (VALUES (900001, '{}'), (900002, '{"z": 9}')) AS t(event_id, props)),
+        |parsed AS (SELECT event_id,
+        |  CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '') AS INTEGER) AS k FROM all_ev)
+        |SELECT event_id, COALESCE(k, 50) AS k_coerced FROM parsed ORDER BY event_id""".stripMargin,
+
+    "v32_joi_pack" ->
+      """SELECT * FROM (
+        | SELECT c_custkey, '/c_acctbal' AS path, 'minimum' AS rule_id,
+        |   CAST(c_acctbal AS VARCHAR) || ' < minimum(0)' AS message,
+        |   CAST(c_acctbal AS VARCHAR) AS observed
+        |  FROM customer WHERE c_acctbal < 0
+        | UNION ALL SELECT c_custkey, '/c_name', 'pattern',
+        |   'String does not match ^Customer#.', c_name
+        |  FROM customer WHERE NOT regexp_matches(c_name, '^Customer#')
+        |) t ORDER BY c_custkey, path""".stripMargin,
 
     "v28_skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events
