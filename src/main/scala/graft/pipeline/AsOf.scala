@@ -31,6 +31,8 @@ object AsOf {
   def joinAsOf(left: DataFrame, leftKey: String, leftTime: String,
       right: DataFrame, rightKey: String, rightTime: String,
       payload: Seq[String]): DataFrame = {
+    val reserved = Set("__k", "__t", "__is_left", "__l", "__r", "__rc")
+    require(!left.columns.exists(reserved), s"left side uses a reserved column name (${reserved.mkString(", ")})")
     val leftStruct  = struct(left.columns.toIndexedSeq.map(col): _*)
     val rightStruct = struct(payload.map(col): _*)
     val rightType   = right.select(rightStruct).schema.head.dataType

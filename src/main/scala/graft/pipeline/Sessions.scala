@@ -20,7 +20,10 @@ object Sessions {
 
   /** Adds `session_idx` (1-based per entity, in `(tsCol, tieCol)` order).
     * `tieCol` must make the ordering total — equal timestamps otherwise
-    * leave the running numbering nondeterministic across partitionings. */
+    * leave the running numbering nondeterministic across partitionings.
+    * Contract: `tsCol` must be non-null (a NULL timestamp has no position
+    * in event time; filter or repair upstream — the null-count stats rule
+    * is the detector). */
   def sessionize(df: DataFrame, userCol: String, tsCol: String, tieCol: String,
       gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
