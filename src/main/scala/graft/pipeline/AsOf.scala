@@ -41,9 +41,14 @@ object AsOf {
     val l2 = left.select(col(leftKey).as("__k"), col(leftTime).as("__t"),
       lit(1).as("__is_left"), leftStruct.as("__l"),
       lit(null).cast(rightType).as("__r"))
-    val r2 = right.select(col(rightKey).as("__k"), col(rightTime).as("__t"),
-      lit(0).as("__is_left"), lit(null).cast(leftType).as("__l"),
-      rightStruct.as("__r"))
+    // ASOF semantics: a right row with a NULL key or NULL time can never
+    // match (`t >= NULL` is never true) — drop them, or the carry-forward
+    // would hand their payload to every left row in the NULL partition
+    val r2 = right
+      .where(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(col(rightKey).as("__k"), col(rightTime).as("__t"),
+        lit(0).as("__is_left"), lit(null).cast(leftType).as("__l"),
+        rightStruct.as("__r"))
 
     val w = Window.partitionBy("__k").orderBy(col("__t"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

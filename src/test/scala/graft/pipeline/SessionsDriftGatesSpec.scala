@@ -152,6 +152,19 @@ class SessionsDriftGatesSpec extends SparkSuite {
       103L -> None, 104L -> None))
   }
 
+  test("asOf join: NULL-key/NULL-time right rows never match (ASOF semantics)") {
+    val left = Seq((1L, ts(10), 1L), (2L, ts(10), 2L)).toDF("k", "t", "left_id")
+    val right = Seq(
+      (Option(1L), Option(ts(5)), 900L),
+      (Option(1L), Option.empty[Timestamp], 901L), // null time: never matches
+      (Option.empty[Long], Option(ts(1)), 902L)    // null key: never matches
+    ).toDF("k", "rt", "payload")
+    val got = AsOf.joinAsOf(left, "k", "t", right, "k", "rt", Seq("payload"))
+      .select("left_id", "asof_payload")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(1L -> Some(900L), 2L -> None))
+  }
+
   test("asOf join plans a single hash shuffle (union + window, no join node)") {
     val spark0 = spark
     val ev = spark0.read.parquet("/root/testdata/sf0.001/events.parquet")
