@@ -619,6 +619,15 @@ object SparkEntry {
         .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
 
+    "p20_stratified_sample" -> ((s, dir) =>
+      // per-stratum deterministic downsampling (boilerplate-heavy strata
+      // sampled harder): pure id-hash projection, stable under corpus
+      // growth; per-lang kept counts as evidence
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          rates = Map("en" -> 0.5, "zh" -> 0.1), defaultRate = 0.9)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
+
     "p19_simhash_neardup" -> ((s, dir) => {
       // SimHash fingerprint → byte-band candidates → exact Hamming ≤ 3:
       // pigeonhole (4 bands, ≤3 differing bits) makes recall exact. True
@@ -1648,6 +1657,14 @@ object SparkEntry {
         | round(sum(CAST(o_totalprice AS DECIMAL(20,4))),2)::DOUBLE AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "p20_stratified_sample" ->
+      """WITH u AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5('split0:' || doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS uh
+        | FROM documents)
+        |SELECT lang, count(*) AS n_kept FROM u
+        |WHERE uh < CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.1 ELSE 0.9 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p19_simhash_neardup" -> {
       val votes = (0 until 32).map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b").mkString(", ")
