@@ -360,8 +360,10 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     "p09_simhash" -> ((s, dir) =>
+      // 64-bit fingerprint (Manku-style width — birthday-safe at 10⁹ docs);
+      // per-row expression form, documented narrow-selection use
       t(s, dir, "documents").where(col("doc_id") < 100)
-        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
     "p10_dedup_groups" -> ((s, dir) =>
@@ -629,13 +631,15 @@ object SparkEntry {
         .orderBy("lang")),
 
     "p19_simhash_neardup" -> ((s, dir) => {
-      // SimHash fingerprint → byte-band candidates → exact Hamming ≤ 3:
-      // pigeonhole (4 bands, ≤3 differing bits) makes recall exact. True
-      // dups injected for a slice (text copied at id+100000 → hamming 0).
+      // 64-bit SimHash fingerprint → 4×16-bit-band candidates → exact
+      // Hamming ≤ 3: pigeonhole (4 bands, ≤3 differing bits) makes recall
+      // exact, and 65,536 buckets/band keeps Σ|bucket|² ≈ N²/65,536 — the
+      // corpus-scale form (Manku et al., WWW'07). True dups injected for a
+      // slice (text copied at id+100000 → hamming 0).
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val dup = docs.where(col("doc_id") < 200)
         .withColumn("doc_id", col("doc_id") + lit(100000L))
-      Dedup.simhashNearDupPairs(docs.unionByName(dup), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashNearDupPairs64(docs.unionByName(dup), "doc_id", "text", maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
     }),
@@ -957,6 +961,26 @@ object SparkEntry {
     * Spark's md5(concat_ws(",", sig::string…)) — sigs are in [0, 2^32) so
     * the decimal rendering is sign-free and engine-identical). Used by the
     * p08 (pairs) and p10 (connected components) oracles. */
+  /** 64-bit SimHash SQL fragments shared by the p09/p19 oracles. DuckDB
+    * rejects a 16-hex-char `'0x…'::BIGINT` (signed overflow), so the word
+    * hash stays as two 32-bit md5 windows `hi`/`lo` — the same windows
+    * Spark combines as `(hi << 32) | lo` — and the votes address bits 0-31
+    * in `lo`, 32-63 in `hi`. Bit 63 of the fingerprint is written as the
+    * min-long literal (never `1 << 63` arithmetic); the sum of distinct
+    * powers of two can't overflow (positives ≤ 2^63−1, then + min-long
+    * stays in range). */
+  private def simhash64Votes: String =
+    (0 until 64).map { b =>
+      val src = if (b < 32) s"(lo >> $b)" else s"(hi >> ${b - 32})"
+      s"sum(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS v_$b"
+    }.mkString(", ")
+
+  private def simhash64Fp: String =
+    (0 until 64).map { b =>
+      if (b == 63) "CASE WHEN v_63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END"
+      else s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+
   private def minhashPairCtes: String = {
     val sig = (0 until 16).map(j =>
       s"list_min(list_transform(sh, s -> ('0x' || substr(md5('${j / 4}:' || s), ${1 + 8 * (j % 4)}, 8))::BIGINT)) AS sig_$j")
@@ -1305,13 +1329,12 @@ object SparkEntry {
          |GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "p09_simhash" -> {
-      val votes = (0 until 32).map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b").mkString(", ")
-      val fp = (0 until 32).map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
       s"""WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
          |  x -> len(x) > 0)) AS word FROM documents WHERE doc_id < 100),
-         |h AS (SELECT doc_id, ('0x' || substr(md5('0:' || word), 1, 8))::BIGINT AS hv FROM w),
-         |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
-         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
+         |h AS (SELECT doc_id, ('0x' || substr(md5('0:' || word), 1, 8))::BIGINT AS hi,
+         |                     ('0x' || substr(md5('0:' || word), 9, 8))::BIGINT AS lo FROM w),
+         |v AS (SELECT doc_id, $simhash64Votes FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhash64Fp AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin
     },
 
     "p11_split_stats" ->
@@ -1667,16 +1690,17 @@ object SparkEntry {
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p19_simhash_neardup" -> {
-      val votes = (0 until 32).map(b => s"sum(CASE WHEN (hv >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b").mkString(", ")
-      val fp = (0 until 32).map(b => s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-      val bandVals = (0 until 4).map(b => s"(simhash >> ${8 * b}) & 255").mkString(", ")
+      // 4×16-bit bands over the 64-bit fingerprint; arithmetic >> then
+      // mask 65535 is sign-safe for the top band in both engines
+      val bandVals = (0 until 4).map(b => s"(simhash >> ${16 * b}) & 65535").mkString(", ")
       s"""WITH all_docs AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 200),
          |w AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
          |  x -> len(x) > 0)) AS word FROM all_docs),
-         |h AS (SELECT doc_id, ('0x' || substr(md5('0:' || word), 1, 8))::BIGINT AS hv FROM w),
-         |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
-         |sh AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v),
+         |h AS (SELECT doc_id, ('0x' || substr(md5('0:' || word), 1, 8))::BIGINT AS hi,
+         |                     ('0x' || substr(md5('0:' || word), 9, 8))::BIGINT AS lo FROM w),
+         |v AS (SELECT doc_id, $simhash64Votes FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, CAST($simhash64Fp AS BIGINT) AS simhash FROM v),
          |bands AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS b,
          |          unnest([$bandVals]) AS bv FROM sh),
          |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,

@@ -162,6 +162,11 @@ object Dedup {
     * each band hashed to one bucket string. */
   def bandKeys(numHashes: Int, bands: Int): Seq[Column] = {
     val rowsPerBand = numHashes / bands
+    // rowsPerBand = 0 would hash the EMPTY signature slice — every doc in
+    // one bucket per band, an N² candidate bomb; a non-dividing bands count
+    // silently ignores the trailing signatures (recall math goes wrong)
+    require(rowsPerBand >= 1 && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes with rowsPerBand >= 1")
     (0 until bands).map { b =>
       val sigCols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(j => col(s"sig_$j").cast("string"))
@@ -175,7 +180,13 @@ object Dedup {
     * distinct `(id_a, id_b)` with id_a < id_b. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      family: HashFamily = XxFast): DataFrame = {
+      family: HashFamily = XxFast, expectedDocs: Option[Long] = None): DataFrame = {
+    // effective bucket space per band = the signature-slice space,
+    // 2^(32·rowsPerBand) for 32-bit hashes (the md5 of the slice does not
+    // shrink it below 63 usable bits)
+    expectedDocs.foreach(n =>
+      lintBanding(n, bandBits = math.min(63, 32 * (numHashes / bands)), bands = bands)
+        .foreach(warn))
     val signed = minhashSignatures(df, idCol, textCol, shingleK, numHashes, family)
       .select(col("id") +: bandKeys(numHashes, bands): _*)
     val stacked = signed.select(col("id"),
@@ -364,9 +375,37 @@ object Dedup {
       .select(col("id"), col("label").as("component"))
   }
 
+  /** 64-bit word hash. Md5Portable packs BOTH 32-bit hex windows of ONE md5
+    * into (window0 << 32) | window1 — codegen subexpression elimination
+    * dedups the digest, so the 64-bit hash costs the same one md5 as the
+    * 32-bit one. Portable: DuckDB reads the same two windows
+    * (`('0x'||substr(md5(s),1,8))::BIGINT` and `…,9,8…`) and addresses bits
+    * 0-31 in the low window, 32-63 in the high one (a single 16-hex-char
+    * cast overflows DuckDB's signed BIGINT, so the halves stay separate
+    * there). XxFast is one native codegen'd xxhash64. */
+  private def seededHash64(s: Column, fam: HashFamily): Column = fam match {
+    case Md5Portable =>
+      shiftleft(md5Hash32Window(s, 0, 0), 32).bitwiseOR(md5Hash32Window(s, 0, 1))
+    case XxFast => xxhash64(lit(0), s)
+  }
+
+  /** Fingerprint bit value for a vote column: bit 63 is Long.MinValue (the
+    * sign bit — writable as a literal, never as 1L << 63 arithmetic), all
+    * others 1L << b; combined with bitwiseOR so no ANSI overflow path
+    * exists at all. */
+  private def fingerprintBit(vote: Column, b: Int): Column =
+    when(vote > 0, lit(if (b == 63) Long.MinValue else 1L << b)).otherwise(lit(0L))
+
   /** 32-bit SimHash over whitespace tokens: bit b of the fingerprint is the
     * sign of Σ_tokens (2·bit_b(h(token)) − 1). Hamming-near fingerprints =
-    * near-duplicate documents. Pure per-row expression. */
+    * near-duplicate documents. Pure per-row expression.
+    *
+    * LEGACY WIDTH — kept for API compatibility only: at 10⁹ docs a 32-bit
+    * fingerprint makes unrelated documents collide within Hamming ≤ 3 by
+    * birthday statistics alone (≈1.3e-6 per pair ⇒ ~10¹² false merges over
+    * N²/2 pairs), and its byte bands give only 256 buckets. Use
+    * [[simhash64]] / [[simhashSignatures64]] (Manku et al., WWW'07 use
+    * 64-bit fingerprints for exactly this reason). */
   def simhash32(text: Column): Column = {
     val ws = TextAnalysis.words(text)
     val hashes = transform(ws, w => md5Hash32(w, 0))
@@ -378,9 +417,47 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** Hamming distance between two simhash fingerprints. */
+  /** Hamming distance between two simhash fingerprints (any width — XOR +
+    * popcount is sign-agnostic). */
   def hamming32(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Alias of [[hamming32]] for the 64-bit family (same expression;
+    * `bit_count` counts over the full two's-complement long). */
+  def hamming64(a: Column, b: Column): Column = hamming32(a, b)
+
+  /** 64-bit SimHash, per-row expression form (narrow selections only — the
+    * token-hash array re-evaluates once per bit; use
+    * [[simhashSignatures64]] over a corpus). One md5 per word feeds all 64
+    * bits. Portable twin of the reference's content-fingerprint idea at the
+    * width Manku et al. (WWW'07) showed a web corpus needs. */
+  def simhash64(text: Column): Column = {
+    val ws = TextAnalysis.words(text)
+    val hashes = transform(ws, w => seededHash64(w, Md5Portable))
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      fingerprintBit(vote, b)
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Explode-based 64-bit SimHash `(id, simhash)` — the corpus-scale path:
+    * each word hashes once (one md5 for Md5Portable, one xxhash64 for
+    * XxFast), 64 conditional sums ride one partial aggregation, and the
+    * fingerprint assembles bitwise (no overflow path). */
+  def simhashSignatures64(df: DataFrame, idCol: String, textCol: String,
+      family: HashFamily = Md5Portable): DataFrame = {
+    val h = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.words(col(textCol))).as("word"))
+      .select(col("id"), seededHash64(col("word"), family).as("hv"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$b"))
+    h.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b => fingerprintBit(col(s"v_$b"), b))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
 
   /** Explode-based SimHash `(id, simhash)` — the corpus-scale path: each
     * token hashes once, 32 conditional sums ride one partial aggregation
@@ -399,12 +476,13 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup PAIRS via byte banding: the 32-bit fingerprint splits
-    * into 4 bytes; candidates share ≥1 byte-band, then the exact Hamming
-    * distance filters. Pigeonhole makes recall EXACT for
-    * `maxHamming ≤ 3`: 3 differing bits can touch at most 3 of the 4
-    * bands, so every true pair collides somewhere — no pair is missed, and
-    * candidate volume stays Σ bucket² per band value, never N². */
+  /** SimHash near-dup PAIRS via byte banding over the LEGACY 32-bit
+    * fingerprint — 8-bit bands give only 256 buckets/band, so even a
+    * uniform corpus pays Σ|bucket|² ≳ N²/256 candidate pairs: fine at
+    * sample scale, NOT a 10⁹-doc plan. Use [[simhashNearDupPairs64]]
+    * (65,536 buckets/band, same pigeonhole-exact recall for Hamming ≤ 3).
+    * Pigeonhole: 3 differing bits touch at most 3 of the 4 bands, so every
+    * true pair collides somewhere — no pair is missed. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, family: HashFamily = Md5Portable): DataFrame = {
     require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for maxHamming <= 3")
@@ -420,4 +498,57 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
+
+  /** SimHash near-dup PAIRS over the 64-bit fingerprint with 4×16-bit
+    * bands — the corpus-scale form (Manku et al., WWW'07). Pigeonhole makes
+    * recall EXACT for `maxHamming ≤ 3` (3 differing bits touch ≤ 3 of the
+    * 4 bands), and each band has 65,536 bucket values, so a uniform corpus
+    * pays Σ|bucket|² ≈ N²/65,536 per band — 256× less than the byte-banded
+    * 32-bit form, with birthday-safe fingerprints on top.
+    *
+    * `expectedDocs`: pass the (approximate) corpus size to run the
+    * [[lintBanding]] capacity check at plan-build time — warnings land on
+    * stderr before the job spends a single task. */
+  def simhashNearDupPairs64(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, family: HashFamily = Md5Portable,
+      expectedDocs: Option[Long] = None): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for maxHamming <= 3")
+    expectedDocs.foreach(n => lintBanding(n, bandBits = 16, bands = 4).foreach(warn))
+    val sigs = simhashSignatures64(df, idCol, textCol, family)
+    val bands = sigs.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("simhash"), 16 * b).bitwiseAND(0xffffL).as("v"))): _*)).as("e"))
+      .select(col("id"), col("simhash"), col("e.b").as("b"), col("e.v").as("v"))
+    val x = bands.select(col("id").as("id_a"), col("simhash").as("sa"), col("b"), col("v"))
+    val y = bands.select(col("id").as("id_b"), col("simhash").as("sb"), col("b"), col("v"))
+    x.join(y, Seq("b", "v")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sa"), col("sb")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Banding-capacity lint (the 32-bit-SimHash lesson generalized): with N
+    * docs hashed into 2^bandBits buckets per band, expected occupancy is
+    * N/2^bandBits and the candidate join pays ≥ N²/2^bandBits pairs per
+    * band even on a perfectly uniform corpus. Returns warnings when the
+    * expected occupancy exceeds `maxExpectedOccupancy` (default 1024 —
+    * a 1024-doc bucket costs ~½M candidate pairs); empty = sized fine.
+    * Pure function so callers (and tests) can gate on it; the banded
+    * operators invoke it via their `expectedDocs` parameter. */
+  def lintBanding(nDocs: Long, bandBits: Int, bands: Int,
+      maxExpectedOccupancy: Double = 1024.0): Seq[String] = {
+    require(bandBits >= 1 && bandBits <= 63, s"bandBits out of range: $bandBits")
+    val buckets = math.pow(2.0, bandBits.toDouble)
+    val occ = nDocs.toDouble / buckets
+    if (occ > maxExpectedOccupancy)
+      Seq(f"banding capacity: $nDocs%,d docs over $bands band(s) of $bandBits bits " +
+        f"(${buckets.toLong}%,d buckets/band) gives expected bucket occupancy $occ%.1f " +
+        f"> $maxExpectedOccupancy%.0f; the candidate join pays ~${occ * nDocs.toDouble}%.3g " +
+        "pairs per band on a UNIFORM corpus — widen the bands (fewer, wider) or switch " +
+        "to a wider-fingerprint family before running at this size")
+    else Seq.empty
+  }
+
+  private def warn(msg: String): Unit = Console.err.println(s"[graft.Dedup] WARN $msg")
 }

@@ -16,6 +16,41 @@ class PipelineSpec extends SparkSuite {
     assert(perRow === agg)
   }
 
+  test("explode-based simhash64 equals the per-row expression and uses all 64 bits") {
+    val perRow = docs.select(col("doc_id").as("id"), Dedup.simhash64(col("text")).as("simhash"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    val agg = Dedup.simhashSignatures64(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(perRow === agg)
+    // the high 32 bits are live (a 32-bit-wide bug would leave them zero);
+    // on 500 real docs some fingerprint must set the sign bit region
+    assert(perRow.exists { case (_, fp) => (fp >>> 32) != 0L })
+    assert(perRow.exists { case (_, fp) => fp < 0L })
+  }
+
+  test("banding capacity lint warns when expected bucket occupancy blows up") {
+    // 10^9 docs over 8-bit bands (the legacy simhash32 shape): ~4M docs per
+    // bucket — must warn, and the message must carry the numbers a user
+    // needs to resize
+    val w = Dedup.lintBanding(1000000000L, bandBits = 8, bands = 4)
+    assert(w.nonEmpty && w.head.contains("8 bits"))
+    assert(w.head.contains("widen the bands"))
+    // the 64-bit family's 16-bit bands at the same corpus still warn
+    // (10^9/65536 ≈ 15k > 1024) — the lint is about sizing, not family
+    assert(Dedup.lintBanding(1000000000L, bandBits = 16, bands = 4).nonEmpty)
+    // …but a 10^7 corpus over 16-bit bands is fine (occupancy ~153)
+    assert(Dedup.lintBanding(10000000L, bandBits = 16, bands = 4).isEmpty)
+    // and minhash-style 32-bit-per-band spaces never trip at any real size
+    assert(Dedup.lintBanding(10000000000L, bandBits = 32, bands = 8).isEmpty)
+  }
+
+  test("bandKeys rejects non-dividing or zero rows-per-band configurations") {
+    val e = intercept[IllegalArgumentException] { Dedup.bandKeys(numHashes = 4, bands = 8) }
+    assert(e.getMessage.contains("rowsPerBand"))
+    intercept[IllegalArgumentException] { Dedup.bandKeys(numHashes = 16, bands = 5) }
+    assert(Dedup.bandKeys(numHashes = 16, bands = 4).size === 4)
+  }
+
   test("near-duplicate text lands in the same minhash band bucket") {
     val base = docs.select("doc_id", "text")
     // duplicate the first 10 docs with shifted ids: identical text must share

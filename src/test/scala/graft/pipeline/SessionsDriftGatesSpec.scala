@@ -181,18 +181,46 @@ class SessionsDriftGatesSpec extends SparkSuite {
     assert(shuffles <= 2, s"expected union+window shape, got $shuffles hash exchanges")
   }
 
-  test("simhashNearDupPairs: exact recall on injected dups (pigeonhole, hamming 0)") {
+  test("simhashNearDupPairs 32+64: exact recall on injected dups (pigeonhole, hamming 0)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text").where(col("doc_id") < 50)
     val dup = docs.withColumn("doc_id", col("doc_id") + lit(100000L))
-    val pairs = Dedup.simhashNearDupPairs(docs.unionByName(dup), "doc_id", "text")
-      .as[(Long, Long, Int)].collect()
-    val found = pairs.collect { case (a, b, 0) if b == a + 100000L => a }.toSet
     // docs with at least one word get a fingerprint; identical text MUST
     // collide in every band and land at hamming 0 — none may be missed
     val expected = docs.where(size(TextAnalysis.words(col("text"))) > 0)
       .select("doc_id").as[Long].collect().toSet
-    assert(found === expected)
+    for (op <- Seq(
+        Dedup.simhashNearDupPairs(docs.unionByName(dup), "doc_id", "text"),
+        Dedup.simhashNearDupPairs64(docs.unionByName(dup), "doc_id", "text"))) {
+      val pairs = op.as[(Long, Long, Int)].collect()
+      val found = pairs.collect { case (a, b, 0) if b == a + 100000L => a }.toSet
+      assert(found === expected)
+    }
+  }
+
+  test("simhashNearDupPairs64: pigeonhole recall at hamming exactly 3 (adversarial bit flips)") {
+    // hand-built corpus: doc 2 = doc 1's fingerprint with 3 bits flipped is
+    // not constructible from text directly, so instead verify on REPEATED
+    // words: near-identical docs (one word appended) stay within hamming 3
+    // of each other often enough to exercise nonzero-hamming pairs, and
+    // every reported pair's hamming is consistent with its fingerprints
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 80)
+    val near = docs.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" suffixtokenx")).as("text"))
+    val all = docs.unionByName(near)
+    val sigs = Dedup.simhashSignatures64(all, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val got = Dedup.simhashNearDupPairs64(all, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    // exhaustive check: EVERY cross-pair within hamming ≤ 3 must be found
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got.toSet === want)
+    assert(got.forall { case (a, b, h) =>
+      java.lang.Long.bitCount(sigs(a) ^ sigs(b)) == h })
   }
 
   test("connectedComponentsStar: empty and single-pair edge sets") {
