@@ -3,7 +3,7 @@ package graft
 import graft.core.{Rule, Violations}
 import graft.core.Rule._
 import graft.global.{Referential, Uniqueness}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Vocab}
 import graft.stats.{ColumnStats, Drift}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -642,6 +642,21 @@ object SparkEntry {
       Dedup.simhashNearDupPairs64(docs.unionByName(dup), "doc_id", "text", maxHamming = 3)
         .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
+    }),
+
+    "p21_vocab_apply" -> ((s, dir) => {
+      // tokenize against a corpus-derived top-200 vocab (broadcast join,
+      // one reassembly shuffle), OOV → -1; the position-weighted checksum
+      // pins the exact id SEQUENCE in a scalar the oracle reproduces
+      val docs = t(s, dir, "documents")
+      val vocab = Vocab.buildVocabulary(docs, "text", topN = 200)
+      Vocab.applyVocabulary(docs, "doc_id", "text", vocab, oovId = Some(-1L))
+        .select(col("id").as("doc_id"), col("n_tok"), col("n_oov"),
+          when(col("n_tok") === 0, lit(0.0))
+            .otherwise(round(col("n_oov").cast("double") / col("n_tok").cast("double"), 6))
+            .as("oov_rate6"),
+          Vocab.idChecksum(col("token_ids")).as("checksum"))
+        .orderBy("doc_id")
     }),
 
     "p17_char_entropy" -> ((s, dir) =>
@@ -1709,6 +1724,27 @@ object SparkEntry {
          |SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin
     },
+
+    "p21_vocab_apply" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  x -> len(x) > 0) AS ws FROM documents),
+        |vc AS (SELECT token, count(*) AS n
+        |       FROM (SELECT unnest(ws) AS token FROM d) GROUP BY token
+        |       ORDER BY n DESC, token LIMIT 200),
+        |vocab AS (SELECT token, (row_number() OVER (ORDER BY n DESC, token) - 1) AS tid FROM vc),
+        |tok AS (SELECT doc_id, unnest(ws) AS token,
+        |        unnest(range(1, len(ws) + 1)) AS pos FROM d),
+        |m AS (SELECT t.doc_id, t.pos, coalesce(v.tid, -1) AS tid, v.tid IS NULL AS oov
+        |      FROM tok t LEFT JOIN vocab v USING (token)),
+        |agg AS (SELECT doc_id, count(*) AS n_tok,
+        |        sum(CASE WHEN oov THEN 1 ELSE 0 END) AS n_oov,
+        |        sum(pos * tid) AS checksum FROM m GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_tok, 0)::BIGINT AS n_tok,
+        | coalesce(n_oov, 0)::BIGINT AS n_oov,
+        | round(CASE WHEN coalesce(n_tok, 0) = 0 THEN 0
+        |       ELSE n_oov::DOUBLE / n_tok::DOUBLE END, 6) AS oov_rate6,
+        | coalesce(checksum, 0)::BIGINT AS checksum
+        |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "p17_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents),

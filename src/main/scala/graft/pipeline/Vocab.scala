@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-vocabulary application — the tokenization step of a training-data
+  * pipeline: map each document's token stream to integer ids against a
+  * vocabulary table, with an explicit out-of-vocabulary (OOV) policy and an
+  * OOV-rate report.
+  *
+  * Scale design (100 TB corpus, ≤ few-M-row vocab):
+  *  - the vocab side BROADCASTS — the corpus-side join is a map-side hash
+  *    lookup, no corpus shuffle for the mapping itself;
+  *  - the only corpus shuffle is the positional reassembly's single
+  *    `groupBy(id)` carrying `(id, pos, tid)` triples — unavoidable once
+  *    the stream is exploded, and partial-aggregated on the map side;
+  *  - a map-literal HOF (`element_at(map, w)`) would avoid even that
+  *    shuffle, but a 100k-entry literal blows the codegen method-size
+  *    limit and falls back to interpretation — the join shape stays
+  *    codegen'd at any vocab size, so it is the production form.
+  */
+object Vocab {
+
+  /** Rank-indexed vocabulary from the corpus itself: the top `topN` tokens
+    * by frequency, `tid` = dense rank 0..topN−1 under the TOTAL order
+    * (count desc, token asc) — deterministic and engine-portable. The word
+    * count is a classic map-side-combined groupBy; the rank window runs
+    * over ≤ topN rows (vocab-sized, single partition by construction).
+    * Output `(token, tid)`. */
+  def buildVocabulary(df: DataFrame, textCol: String, topN: Int): DataFrame =
+    df.select(explode(TextAnalysis.words(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(topN)
+      .select(col("token"),
+        (row_number().over(Window.orderBy(col("n").desc, col("token"))) - 1)
+          .cast("long").as("tid"))
+
+  /** Map each document's whitespace-token stream to vocabulary ids.
+    *
+    * OOV policy: `oovId = Some(x)` substitutes x for unknown tokens (the
+    * `<unk>` convention); `None` DROPS unknown tokens (positions close up,
+    * relative order preserved). Either way `n_oov` counts them, so the
+    * OOV rate is always observable — a rate that jumps between corpus
+    * versions is the canonical "wrong vocab file" alarm.
+    *
+    * Empty documents survive with an empty id array (posexplode_outer +
+    * null-token accounting), so row counts are preserved end-to-end.
+    * Output `(id, token_ids: array<long>, n_tok, n_oov)`; `token_ids` is in
+    * original token order (array_sort on (pos, tid) structs — the broadcast
+    * join's output order is not deterministic, the positional sort is). */
+  def applyVocabulary(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, oovId: Option[Long] = Some(-1L)): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode_outer(TextAnalysis.words(col(textCol))).as(Seq("pos", "token")))
+    val marked = toks.join(broadcast(vocab), Seq("token"), "left")
+      .select(col("id"), col("pos"), col("tid"),
+        (col("token").isNotNull && col("tid").isNull).as("oov"),
+        col("token").isNotNull.as("tok"))
+    // collect_list drops null elements: a null `elem` (empty doc's padding
+    // row, or an OOV under the drop policy) simply doesn't enter the array
+    val elem = oovId match {
+      case Some(x) => when(col("tok"),
+        struct(col("pos"), coalesce(col("tid"), lit(x)).as("tid")))
+      case None => when(col("tok") && !col("oov"),
+        struct(col("pos"), col("tid").as("tid")))
+    }
+    marked.groupBy("id").agg(
+        sum(when(col("tok"), 1L).otherwise(0L)).as("n_tok"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        collect_list(elem).as("pts"))
+      .select(col("id"),
+        transform(array_sort(col("pts")), p => p.getField("tid")).as("token_ids"),
+        col("n_tok"), col("n_oov"))
+  }
+
+  /** Position-weighted checksum of an id array: Σ (i+1)·id_i (0-based i).
+    * Order-sensitive, so it pins the exact sequence in a scalar the oracle
+    * can reproduce (`sum(pos * tid)` over 1-based DuckDB positions). */
+  def idChecksum(tokenIds: Column): Column =
+    aggregate(transform(tokenIds, (t, i) => t * (i + lit(1)).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+}

@@ -158,6 +158,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("p21 vocab application joins the vocab by BROADCAST (corpus never sort-merges)") {
+    // the mapping join is the per-token hot path: a sort-merge there would
+    // shuffle the whole exploded corpus on the token — the vocab side is
+    // bounded (topN) and must broadcast
+    val df = SparkEntry.queries("p21_vocab_apply")(spark, dir)
+    df.collect()
+    val plan = planString(df)
+    assert(plan.contains("BroadcastHashJoin"), "vocab join lost its broadcast")
+    assert(!plan.contains("SortMergeJoin"), "corpus-side sort-merge join on token")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("parquet-backed validation runs inside whole-stage codegen (no UDFs to break it)") {
     // `*(n)` node prefixes in the plan string = WholeStageCodegenExec spans;
     // AQE only inserts them into the FINAL plan, so execute first

@@ -51,6 +51,31 @@ class PipelineSpec extends SparkSuite {
     assert(Dedup.bandKeys(numHashes = 16, bands = 4).size === 4)
   }
 
+  test("vocabulary application: ordered ids, both OOV policies, empty docs survive") {
+    val df = Seq((1L, "a b c a unknownword"), (2L, ""), (3L, "b b")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 0L), ("b", 1L), ("c", 2L)).toDF("token", "tid")
+    // substitute policy: OOV → -1, position order preserved
+    val sub = Vocab.applyVocabulary(df, "doc_id", "text", vocab, oovId = Some(-1L))
+      .orderBy("id").as[(Long, Seq[Long], Long, Long)].collect().toSeq
+    assert(sub === Seq((1L, Seq(0L, 1L, 2L, 0L, -1L), 5L, 1L),
+      (2L, Seq.empty[Long], 0L, 0L), (3L, Seq(1L, 1L), 2L, 0L)))
+    // drop policy: OOV removed from the array but still counted
+    val drop = Vocab.applyVocabulary(df, "doc_id", "text", vocab, oovId = None)
+      .orderBy("id").as[(Long, Seq[Long], Long, Long)].collect().toSeq
+    assert(drop === Seq((1L, Seq(0L, 1L, 2L, 0L), 5L, 1L),
+      (2L, Seq.empty[Long], 0L, 0L), (3L, Seq(1L, 1L), 2L, 0L)))
+    // corpus-derived vocab ranks by (count desc, token asc): b=3, a=2, then
+    // the c/unknownword tie at 1 breaks lexicographically
+    val built = Vocab.buildVocabulary(df, "text", topN = 3)
+      .orderBy("tid").as[(String, Long)].collect().toSeq
+    assert(built === Seq(("b", 0L), ("a", 1L), ("c", 2L)))
+    // checksum is position-weighted (order-sensitive): [3,1] ≠ [1,3]
+    val cs = Seq((Seq(3L, 1L), Seq(1L, 3L))).toDF("x", "y")
+      .select(Vocab.idChecksum(col("x")), Vocab.idChecksum(col("y")))
+      .as[(Long, Long)].head()
+    assert(cs === (3L + 2L, 1L + 6L))
+  }
+
   test("near-duplicate text lands in the same minhash band bucket") {
     val base = docs.select("doc_id", "text")
     // duplicate the first 10 docs with shifted ids: identical text must share
