@@ -71,8 +71,23 @@ object Violations {
     * single shuffle of the tiny per-partition counters. */
   def verdictByPartition(df: DataFrame, rule: Rule, partitionCol: Option[String],
       ctx: RuleCompiler.Ctx = RuleCompiler.Ctx()): DataFrame = {
-    val rowCol = struct(df.columns.toIndexedSeq.map(col): _*)
-    val errs = RuleCompiler.compile(rule, df.schema, rowCol, lit(""), ctx)
+    // same pruning as `validate`: the scan must read only the pack's
+    // referenced columns (+ the partition key) — relying on Catalyst's
+    // GetStructField(CreateNamedStruct) simplification to prune for us is
+    // not a guarantee the §8.1 scale audit can assert on
+    val pruned = Rule.referencedFields(rule) match {
+      case Some(fields) =>
+        val keep = df.columns.filter(c => fields.contains(c) || partitionCol.contains(c))
+        df.select(keep.toIndexedSeq.map(col): _*)
+      case None => df
+    }
+    val rowCol = struct(pruned.columns.toIndexedSeq.map(col): _*)
+    val errs = RuleCompiler.compile(rule, pruned.schema, rowCol, lit(""), ctx)
+    verdictAgg(pruned, errs, partitionCol)
+  }
+
+  private def verdictAgg(df: DataFrame, errs: Column,
+      partitionCol: Option[String]): DataFrame = {
     val part = partitionCol.map(col).getOrElse(spark_partition_id().cast("long").as("pid"))
     df.select(part.as("partition"), (size(errs) > 0).as("failed"))
       .groupBy("partition")

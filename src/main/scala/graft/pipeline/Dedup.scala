@@ -82,40 +82,53 @@ object Dedup {
     * cap (exact textbook Jaccard). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
       minJaccard: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    // set sizes ride along with the exploded shingles, so the pair counts
-    // and the jaccard denominator come out of ONE inverted-index join + ONE
-    // aggregation — no cache, no size-lookup joins (scale: the only shuffle
-    // partitions by shingle, then by pair)
-    val sh =
-      if (maxDocFreq == Int.MaxValue)
-        df.select(col(idCol).as("id"), shingleArray(col(textCol), k).as("sh"))
-          .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("shingle"))
-      else {
-        // ONE shingle explosion, materialized: the df counts and the kept
-        // posting rows both read the same checkpointed set. (Deriving the
-        // frequent set via a second shingles() call re-explodes — and
-        // re-tokenizes — the whole corpus; the explode is the expensive
-        // part at scale, and exchange reuse cannot dedup it because the
-        // anti-join's stream side has no exchange.)
-        val ex = shingles(df, idCol, textCol, k).localCheckpoint()
-        val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .where(col("df") > maxDocFreq).select("shingle")
-        val kept = ex.join(broadcast(freq), Seq("shingle"), "left_anti")
-        // set size must be recomputed over the SURVIVING shingles; the
-        // window shuffles by id once (AQE-coalesced), then the self-join
-        // re-shuffles by shingle as before
-        kept.withColumn("n",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("id")))
-      }
-    sh.as("a").join(sh.as("b"), Seq("shingle"))
-      .where(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
-      .agg(count(lit(1)).as("n_common"))
+    def finish(withSizes: DataFrame): DataFrame = withSizes
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .where(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+
+    if (maxDocFreq == Int.MaxValue) {
+      // set sizes ride along with the exploded shingles, so the pair counts
+      // and the jaccard denominator come out of ONE inverted-index join +
+      // ONE aggregation — no cache, no size-lookup joins (scale: the only
+      // shuffle partitions by shingle, then by pair)
+      val sh = df.select(col(idCol).as("id"), shingleArray(col(textCol), k).as("sh"))
+        .select(col("id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("shingle"))
+      finish(sh.as("a").join(sh.as("b"), Seq("shingle"))
+        .where(col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.n").as("n_a"), col("b.n").as("n_b"))
+        .agg(count(lit(1)).as("n_common")))
+    } else {
+      // ONE shingle explosion, materialized: the df counts and the kept
+      // posting rows both read the same checkpointed set. (Deriving the
+      // frequent set via a second shingles() call re-explodes — and
+      // re-tokenizes — the whole corpus; the explode is the expensive
+      // part at scale, and exchange reuse cannot dedup it because the
+      // anti-join's stream side has no exchange.)
+      val ex = shingles(df, idCol, textCol, k).localCheckpoint()
+      val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") > maxDocFreq).select("shingle")
+      val kept = ex.join(broadcast(freq), Seq("shingle"), "left_anti")
+      // surviving set sizes via ONE partial-aggregated counter shuffle;
+      // they re-attach to the PAIR table after aggregation (rows already
+      // collapsed to one per candidate pair). The former `count over
+      // Window.partitionBy(id)` pushed every surviving posting through a
+      // second full exchange before the self-join exchanged them again —
+      // at cluster scale the posting bytes dominate the counter/pair-side
+      // joins added here (measured A/B in ComponentBench; an array-domain
+      // `array_except` variant avoids all extra exchanges but re-builds
+      // the frequent-set hash per row — 40% slower even locally)
+      val sizes = kept.groupBy("id").agg(count(lit(1)).as("n"))
+      val pairs = kept.as("a").join(kept.as("b"), Seq("shingle"))
+        .where(col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+      finish(pairs
+        .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b"))
+    }
   }
 
   /** Hash family selector: md5-derived (engine-portable, oracle-checkable)

@@ -360,11 +360,28 @@ object Similarity {
     * cells (LSH planes are data-oblivious) at the cost of the N×nlist
     * assignment pass. Scan cost per query ≈ N·nprobe/nlist instead of N.
     * Output `(query_id, neighbor_id, cosine, rank)`, self-matches excluded,
-    * ties by neighbor id. */
+    * ties by neighbor id.
+    *
+    * `maxCellSize`: cells above the cap are dropped from the index before
+    * the probe join — the IVF twin of [[lshCandidatePairs]]' bucket cap.
+    * One degenerate cell (e.g. all-zero embeddings collapsing onto one
+    * centroid) would pin a single reducer with |cell|·|probing queries|
+    * rows; capping bounds every task at cap·|queries|. Dropped cells are
+    * observable via [[ivfCellStats]] filtered to `n > cap`; the cap rides a
+    * BROADCAST anti-join (cell ids ≤ nlist rows), so it adds a counter
+    * aggregation but no extra full-data exchange. */
   def topKIvf(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int, nprobe: Int, centroids: Option[DataFrame] = None): DataFrame = {
+      k: Int, nlist: Int, nprobe: Int, centroids: Option[DataFrame] = None,
+      maxCellSize: Option[Int] = None): DataFrame = {
     val cents = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
-    val assigned = ivfAssign(corpus, idCol, vecCol, cents)
+    val assigned0 = ivfAssign(corpus, idCol, vecCol, cents)
+    val assigned = maxCellSize match {
+      case Some(cap) =>
+        val big = assigned0.groupBy("cell").agg(count(lit(1)).as("n"))
+          .where(col("n") > cap).select("cell")
+        assigned0.join(broadcast(big), Seq("cell"), "left_anti")
+      case None => assigned0
+    }
 
     // query probes: top-nprobe cells by affinity (queries are few; the
     // window is over |queries|·nlist rows)

@@ -46,20 +46,22 @@ class PlanAuditSpec extends SparkSuite {
       .contains("CartesianProduct"))
   }
 
-  test("capped jaccardPairs explodes the corpus exactly once (checkpointed index)") {
-    // the df-cap path materializes ONE shingle explosion via localCheckpoint;
-    // both the frequent-shingle counts and the surviving postings read it —
-    // the executed plan downstream of the checkpoint must carry NO Generate
-    // (a second Generate would mean the corpus re-exploded/re-tokenized)
+  test("capped jaccardPairs tokenizes the corpus exactly once (checkpointed arrays)") {
+    // the df-cap path materializes ONE shingle explosion via localCheckpoint
+    // (both the frequent-shingle counts and the surviving postings read it),
+    // derives set sizes by a partial-aggregated counter groupBy, and
+    // re-attaches them to the PAIR table — so the executed plan must carry
+    // no Generate (re-explosion), no parquet re-scan, and critically no
+    // Window (the former `count over Window.partitionBy(id)` pushed every
+    // surviving posting through a second full network exchange)
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(100)
     val pairs = graft.pipeline.Dedup.jaccardPairs(docs, "doc_id", "text",
       k = 3, minJaccard = 0.5, maxDocFreq = 50)
     pairs.collect()
-    val plan = planString(pairs)
+    val plan = planString(pairs).split("== Initial Plan ==")(0)
     assert(!plan.contains("Generate"), "capped jaccard re-explodes the corpus")
-    // and the two consumers really share the checkpointed RDD (scan appears,
-    // no parquet re-scan of documents)
     assert(scans(pairs).isEmpty, "capped jaccard re-scans the parquet source")
+    assert(!plan.contains("Window"), "full-posting window exchange is back")
   }
 
   test("SQ8 search shortlist stage carries no unbroadcast cartesian") {
@@ -156,6 +158,19 @@ class PlanAuditSpec extends SparkSuite {
     val plan = planString(SparkEntry.queries("s07_neardup_groups")(spark, dir))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("v26 verdict-by-partition scan reads only the pack's columns + the partition key") {
+    // the pack references (lang, n_chars) and partitions by source — the
+    // documents scan must NOT decode text/tokens (the bandwidth wall); this
+    // is the same pruning `validate` has, asserted rather than assumed
+    val df = SparkEntry.queries("v26_verdict_by_source")(spark, dir)
+    df.collect() // AQE hides the scan inside query stages until run
+    val plan = planString(df).split("== Initial Plan ==")(0)
+    val read = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(read.nonEmpty, "no parquet scan in the verdict plan?")
+    val fields = read.flatMap(_.split(",")).map(_.split(":")(0).trim).toSet
+    assert(fields === Set("lang", "n_chars", "source"), s"scan reads $fields")
   }
 
   test("p21 vocab application joins the vocab by BROADCAST (corpus never sort-merges)") {

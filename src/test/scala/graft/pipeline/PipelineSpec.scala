@@ -332,6 +332,34 @@ class PipelineSpec extends SparkSuite {
     assert(bipartite.nonEmpty)
   }
 
+  test("IVF maxCellSize drops a degenerate hot cell; other cells still serve") {
+    // 60 identical vectors (ids 1000+) all collapse into ONE cell — the
+    // skew that pins one reducer at |cell|·|queries| rows; 20 diverse
+    // low-id vectors form the centroids and the healthy cells
+    val one = emb001.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    val clones = spark.range(60).select((col("id") + 1000L).as("vec_id"),
+      typedLit(one).as("embedding"))
+    val rest = emb001.where(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = clones.unionByName(rest)
+    val queries = clones.where(col("vec_id") === 1000L)
+    val uncapped = Similarity.topKIvf(queries, corpus, "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 4)
+    val capped = Similarity.topKIvf(queries, corpus, "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 4, maxCellSize = Some(30))
+    // uncapped: the clone cell serves 59 cosine-1.0 neighbors
+    assert(uncapped.where(col("cosine") > 0.999).count() > 0)
+    // capped: the 60-deep cell is dropped (bounded tasks) …
+    assert(capped.where(col("cosine") > 0.999).count() === 0)
+    // … but healthy cells still answer (results survive, from `rest`)
+    assert(capped.count() > 0)
+    assert(capped.where(col("neighbor_id") >= 1000L).count() === 0)
+    // the dropped cell is observable via the stats probe
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", 4)
+    val stats = Similarity.ivfCellStats(corpus, "vec_id", "embedding", cents)
+    assert(stats.where(col("n") > 30).count() === 1)
+  }
+
   test("IVF: a duplicated vector is found at rank 1 through its probed cell") {
     val base = emb001.select(col("vec_id"), col("embedding"))
     val dup = base.where(col("vec_id") === 0)
