@@ -528,6 +528,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "m03_image_meta" -> ((s, _) => {
+      import s.implicits._
+      // REAL codec leg: deterministic PNG/BMP fixtures are ENCODED with
+      // ImageIO and the metadata must come back through ImageIO.read — the
+      // oracle pins the known generated dimensions, so a stubbed or
+      // byte-sniffed decoder cannot pass. One corrupt payload pins the
+      // explicit (-1,-1) failure marker.
+      val rows = (0L until 64L).map { i =>
+        val w = 16 + (i % 21).toInt
+        val h = 16 + ((i * 7) % 13).toInt
+        val fmt = if (i % 2 == 0) "png" else "bmp"
+        Multimodal.MediaRow(i, Multimodal.syntheticImage(w, h, seed = i, fmt), s"image/$fmt")
+      } :+ Multimodal.MediaRow(999L, Array[Byte](1, 2, 3, 4), "image/png")
+      Multimodal.extractMeta(s.createDataset(rows)).toDF()
+        .select(col("doc_id"), col("mime"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+        .orderBy("doc_id")
+    }),
+
     "st01_stream_window_batch" -> ((s, dir) =>
       // batch-equivalent of the Structured Streaming tumbling-window query
       // (the streaming path itself is exercised in StreamingSpec)
@@ -1544,6 +1563,15 @@ object SparkEntry {
         | (((ascii(substr(text,3,1)) & 127) * 16 + (ascii(substr(text,4,1)) & 15)) + 16)::BIGINT AS height,
         | md5(text) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m03_image_meta" ->
+      """SELECT i AS doc_id,
+        | CASE WHEN i % 2 = 0 THEN 'image/png' ELSE 'image/bmp' END AS mime,
+        | (16 + i % 21)::BIGINT AS width,
+        | (16 + (i * 7) % 13)::BIGINT AS height
+        |FROM range(64) t(i)
+        |UNION ALL SELECT 999, 'image/png', -1, -1
+        |ORDER BY doc_id""".stripMargin,
 
     "st01_stream_window_batch" ->
       """SELECT CAST(floor(epoch(ts)/300) AS BIGINT)*300 AS bucket_start, event_type,

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * The Spark side is real and tested — schema, partition-batch shape,
   * backpressure-friendly iterator processing via `mapPartitions` (the Scala
-  * analog of `mapInPandas` batches). The codec itself is a STUB: this
-  * container has no image/audio libraries, so `decodeStub` derives
-  * deterministic fake metadata from the bytes. Swap `decodeStub` for a real
-  * JNI/Java codec without touching the distribution logic.
+  * analog of `mapInPandas` batches). IMAGE metadata decode is REAL:
+  * `javax.imageio.ImageIO` (part of the JDK, works offline and headless)
+  * parses PNG/BMP/JPEG/GIF dimensions from the actual bytes. Audio/video
+  * mimes keep the deterministic `decodeStub` (no codec libraries in this
+  * container); swap it for an ffmpeg-style JNI codec without touching the
+  * distribution logic.
   */
 object Multimodal {
 
@@ -19,10 +21,11 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, mime: String, n_bytes: Int,
       width: Int, height: Int, checksum: String)
 
-  /** STUB decoder — deterministic fake: "dimensions" are derived from the
-    * first bytes, checksum is real md5. Replace with a real codec
-    * (javax.imageio / ffmpeg JNI) in production; the signature is the
-    * contract. */
+  /** STUB decoder for NON-IMAGE mimes (audio/video — no codec libraries in
+    * this container): deterministic fake "dimensions" derived from the
+    * first bytes, checksum is real md5. Image mimes never reach this —
+    * [[decode]] routes them to the real [[decodeImage]]. Replace with an
+    * ffmpeg-style JNI codec in production; the signature is the contract. */
   def decodeStub(row: MediaRow): MediaMeta = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(row.media)
     val hex = md.map("%02x".format(_)).mkString
@@ -31,12 +34,53 @@ object Multimodal {
     MediaMeta(row.doc_id, row.mime, row.media.length, w, h, hex)
   }
 
+  /** REAL image metadata decode via the JDK's ImageIO. Returns
+    * width/height from the decoded image; a payload ImageIO cannot parse
+    * (corrupt bytes, unsupported subformat) yields `(-1, -1)` — an explicit
+    * decode-failure marker, never fake numbers. The checksum is the md5 of
+    * the raw bytes either way. */
+  def decodeImage(row: MediaRow): MediaMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(row.media)
+    val hex = md.map("%02x".format(_)).mkString
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.media))
+      catch { case _: java.io.IOException => null }
+    val (w, h) = if (img == null) (-1, -1) else (img.getWidth, img.getHeight)
+    MediaMeta(row.doc_id, row.mime, row.media.length, w, h, hex)
+  }
+
+  /** Mime dispatch: image mimes → the real ImageIO decoder; everything else →
+    * the declared stub (audio/video codecs are not in this container). */
+  def decode(row: MediaRow): MediaMeta =
+    if (row.mime.startsWith("image/")) decodeImage(row) else decodeStub(row)
+
   /** Feature extraction over partition batches. The iterator is processed
     * lazily (constant memory per partition) — the shape a real batch codec
-    * needs. */
+    * needs. `mapPartitions` is justified here (and only here): the payload
+    * is opaque bytes no Catalyst expression can parse. */
   def extractMeta(ds: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(decodeStub))
+    ds.mapPartitions(_.map(decode))
+  }
+
+  /** Deterministic synthetic image (PNG or BMP via the REAL ImageIO
+    * encoder): a w×h RGB gradient seeded by `seed`. Test/oracle fixture —
+    * the oracle pins the dimensions a real decoder must read back. */
+  def syntheticImage(w: Int, h: Int, seed: Long, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((x * 31 + y * 7 + seed) % 0x1000000) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out), s"no ImageIO writer for $format")
+    out.toByteArray
   }
 
   /** Build a media table from any table with a string payload column —

@@ -464,6 +464,22 @@ class PipelineSpec extends SparkSuite {
     assert(rehits === 0)
   }
 
+  test("image metadata decode is REAL: ImageIO round-trip, corrupt marker, stub only for non-image") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticImage(40, 25, 3L, "png"), "image/png"),
+      Multimodal.MediaRow(2L, Multimodal.syntheticImage(17, 63, 5L, "bmp"), "image/bmp"),
+      Multimodal.MediaRow(3L, Array[Byte](9, 9, 9), "image/png"),
+      Multimodal.MediaRow(4L, "not an image".getBytes("UTF-8"), "audio/wav"))
+    val got = Multimodal.extractMeta(spark.createDataset(rows)).collect().sortBy(_.doc_id)
+    // dimensions come from decoding the actual encoded bytes
+    assert(got(0).width === 40 && got(0).height === 25)
+    assert(got(1).width === 17 && got(1).height === 63)
+    // unparseable image bytes → explicit failure marker, never fake numbers
+    assert(got(2).width === -1 && got(2).height === -1)
+    // audio/video mimes keep the declared stub
+    assert(got(3) === Multimodal.decodeStub(rows(3)))
+  }
+
   test("multimodal: frame sampling keeps every stride-th frame") {
     import spark.implicits._
     val media = Multimodal.fromText(docs.limit(5), "doc_id", "text")
