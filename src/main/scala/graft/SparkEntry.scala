@@ -547,6 +547,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "st03_stream_verdicts" -> ((s, dir) => {
+      // ACTUAL streaming execution in the oracle gate: the events parquet is
+      // replayed as a file-source stream (Trigger.AvailableNow, memory
+      // sink); append mode emits exactly the watermark-CLOSED hourly
+      // windows — final watermark = max(ts) − 30 min (the trailing no-data
+      // micro-batch applies it), so the emitted set is deterministic and
+      // the DuckDB oracle reproduces it with the same closed-window
+      // predicate. Row values are bit-identical to the batch twin (pinned
+      // by the streaming==batch e2e spec); this entry gates the STREAM.
+      import org.apache.spark.sql.streaming.Trigger
+      // the file source watches a DIRECTORY; stage the single parquet file
+      // into a temp dir (exactly what a streaming ingest drop-zone is)
+      val stage = java.nio.file.Files.createTempDirectory("st03_events")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(stage.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val rule = Properties(Seq("value" -> Maximum(450)))
+      val sink = s"st03_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.StreamingValidate
+        .windowedVerdicts(stream, rule, "ts", "1 hour", "30 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.table(sink)
+        .select(col("window_start").cast("long").as("window_start"),
+          col("n_rows"), col("n_failed"), col("verdict"))
+        .orderBy("window_start")
+    }),
+
     "st01_stream_window_batch" -> ((s, dir) =>
       // batch-equivalent of the Structured Streaming tumbling-window query
       // (the streaming path itself is exercised in StreamingSpec)
@@ -1572,6 +1604,17 @@ object SparkEntry {
         |FROM range(64) t(i)
         |UNION ALL SELECT 999, 'image/png', -1, -1
         |ORDER BY doc_id""".stripMargin,
+
+    "st03_stream_verdicts" ->
+      // closed-window predicate: window_end ≤ max(ts) − 30 min, matching
+      // the final watermark the no-data micro-batch applies
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |w AS (SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS ws,
+        |  CASE WHEN value > 450 THEN 1 ELSE 0 END AS failed FROM events)
+        |SELECT ws AS window_start, count(*) AS n_rows, sum(failed)::BIGINT AS n_failed,
+        | CASE WHEN sum(failed) = 0 THEN 'pass' ELSE 'fail' END AS verdict
+        |FROM w, mx WHERE ws + 3600 <= epoch(m) - 1800
+        |GROUP BY ws ORDER BY ws""".stripMargin,
 
     "st01_stream_window_batch" ->
       """SELECT CAST(floor(epoch(ts)/300) AS BIGINT)*300 AS bucket_start, event_type,
