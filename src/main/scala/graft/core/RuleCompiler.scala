@@ -212,7 +212,22 @@ object RuleCompiler {
             // passing element → NULL (no allocation); failing → its struct
             val perElem = transform(arr, (x, i) =>
               try_element_at(compile(leaf, et, x, concat(path, lit("/"), i.cast(StringType)), ctx), lit(1)))
-            when(arr.isNull, noErrors).otherwise(filter(perElem, e => e.isNotNull))
+            val exact = filter(perElem, e => e.isNotNull)
+            // aggregate pre-check for numeric bounds: errors can exist only
+            // if the array's min/max crosses the bound, so the per-element
+            // transform+filter machinery (higher-order functions — no
+            // codegen) runs ONLY on rows that provably contain a violation.
+            // On a 99.x%-passing corpus this removes the dominant
+            // per-element cost of the validate leg. Sound because `check`
+            // null-skips (null elements pass bound keywords, and
+            // array_min/array_max skip nulls the same way); a NULL guard
+            // (empty / all-null array) falls through to the exact path,
+            // which emits nothing for those.
+            val body = itemsBoundGuard(leaf, et, arr) match {
+              case Some(allPass) => when(allPass, noErrors).otherwise(exact)
+              case None          => exact
+            }
+            when(arr.isNull, noErrors).otherwise(body)
           case _ =>
             when(arr.isNull, noErrors).otherwise(
               flatten(transform(arr, (x, i) =>
@@ -510,6 +525,21 @@ object RuleCompiler {
 
   private def num(v: Double): String =
     if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString else v.toString
+
+  /** "All elements pass" pre-check for a per-element bound keyword, when
+    * one exists that is strictly sound: guard TRUE ⟹ the distributed
+    * `Items(leaf)` emits no errors. Only numeric min/max qualify (their
+    * pass condition is monotone in the element value, so the array
+    * extremum decides the whole row); anything else returns None and takes
+    * the exact per-element path. NaN behaves consistently: Spark's
+    * comparison and array extremum use the same total order. */
+  private def itemsBoundGuard(leaf: Rule, et: DataType, arr: Column): Option[Column] = leaf match {
+    case Rule.Minimum(v, excl) if isNumeric(et) =>
+      Some(if (excl) array_min(arr) > lit(v).cast(et) else array_min(arr) >= lit(v).cast(et))
+    case Rule.Maximum(v, excl) if isNumeric(et) =>
+      Some(if (excl) array_max(arr) < lit(v).cast(et) else array_max(arr) <= lit(v).cast(et))
+    case _ => None
+  }
 
   private def arrayRule(dt: DataType, target: Column)(f: (DataType, Column) => Column): Column = dt match {
     case ArrayType(et, _) => f(et, target)
