@@ -3,7 +3,7 @@ package graft
 import graft.core.{Rule, Violations}
 import graft.core.Rule._
 import graft.global.{Referential, Uniqueness}
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.pipeline.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Vocab}
 import graft.stats.{ColumnStats, Drift}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -707,6 +707,31 @@ object SparkEntry {
             .otherwise(round(col("n_oov").cast("double") / col("n_tok").cast("double"), 6))
             .as("oov_rate6"),
           Vocab.idChecksum(col("token_ids")).as("checksum"))
+        .orderBy("doc_id")
+    }),
+
+    "p22_block_dedup" -> ((s, dir) => {
+      // block-level exact dedup (RefinedWeb/CCNet line-dedup family):
+      // 10-word blocks, corpus-wide first-occurrence-wins; injected copies
+      // (ids +100000) make every copied block a duplicate
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val dup = docs.where(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+      Dedup.blockDedupStats(docs.unionByName(dup), "doc_id", "text", w = 10)
+        .select(col("id").as("doc_id"), col("n_blocks"), col("n_dup_blocks"),
+          round(col("dup_frac"), 6).as("dup_frac6"))
+        .orderBy("doc_id")
+    }),
+
+    "p23_seq_packing" -> ((s, dir) => {
+      // GPT-style concat-and-cut packing via the distributed prefix sum
+      // (per-id-range bucket subtotals → tiny prefix window → parallel
+      // per-bucket running sums); oracle = one global DuckDB window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("n_tok"))
+      Packing.packSequences(docs, "doc_id", "n_tok", budget = 1024L, bucketSize = 500L)
+        .select(col("id").as("doc_id"), col("n_tok"),
+          col("start_bin"), col("bin_offset"), col("bins_spanned"))
         .orderBy("doc_id")
     }),
 
@@ -1816,6 +1841,34 @@ object SparkEntry {
         |       ELSE n_oov::DOUBLE / n_tok::DOUBLE END, 6) AS oov_rate6,
         | coalesce(checksum, 0)::BIGINT AS checksum
         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "p22_block_dedup" ->
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100),
+        |d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  x -> len(x) > 0) AS ws FROM all_docs),
+        |b AS (SELECT doc_id, i AS bidx,
+        |  array_to_string(ws[i*10+1 : i*10+10], ' ') AS block
+        | FROM d CROSS JOIN unnest(range(0, len(ws) // 10)) t(i)),
+        |r AS (SELECT doc_id, bidx,
+        |  row_number() OVER (PARTITION BY md5(block) ORDER BY doc_id, bidx) AS rn FROM b)
+        |SELECT doc_id, count(*) AS n_blocks,
+        | sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_blocks,
+        | round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS dup_frac6
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p23_seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0))::BIGINT AS n_tok
+        | FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+        |SELECT doc_id, n_tok, (cb // 1024)::BIGINT AS start_bin,
+        | (cb % 1024)::BIGINT AS bin_offset,
+        | (CASE WHEN n_tok = 0 THEN 0
+        |  ELSE (cb + n_tok - 1) // 1024 - cb // 1024 + 1 END)::BIGINT AS bins_spanned
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "p17_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS ch FROM documents),

@@ -541,6 +541,48 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Non-overlapping w-word blocks of a document, in order (FULL blocks
+    * only — a trailing partial block is ignored, mirrored by the oracle).
+    * Built like [[shingleArray]] (zip-with-shifted-slices, no lambda
+    * capture of the word array) then filtered to every w-th position —
+    * array-domain, zero shuffle, rides the scan. */
+  def wordBlocks(text: Column, w: Int): Column = {
+    val ws = TextAnalysis.words(text)
+    val joined = (1 until w).foldLeft(ws) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(j + 1), greatest(size(ws) - j, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(joined, (x, i) => x.isNotNull && pmod(i, lit(w)) === 0)
+  }
+
+  /** Block-level exact dedup (the RefinedWeb/CCNet "line dedup" family at
+    * block granularity): every w-word block is hashed and the corpus keeps
+    * its FIRST occurrence under the total order (doc_id, block_idx); later
+    * occurrences are duplicates. Output per doc:
+    * `(id, n_blocks, n_dup_blocks, dup_frac)` — docs with fewer than w
+    * words emit nothing (no full block).
+    *
+    * Scale: block construction is array-domain on the scan (no shuffle);
+    * the first-occurrence window shuffles `(id, block_idx, md5)` triples
+    * keyed by the block hash — uniform by construction — and the per-doc
+    * rollup is a partial-aggregated counter groupBy. No pairwise joins
+    * anywhere, so cost is linear in corpus blocks. */
+  def blockDedupStats(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    val blocks = df.select(col(idCol).as("id"),
+        posexplode(wordBlocks(col(textCol), w)).as(Seq("block_idx", "block")))
+      .select(col("id"), col("block_idx"),
+        TextAnalysis.fingerprint(col("block")).as("h"))
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy("id", "block_idx")
+    blocks.withColumn("dup", row_number().over(firstWin) > 1)
+      .groupBy("id").agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_blocks"))
+      .withColumn("dup_frac",
+        col("n_dup_blocks").cast("double") / col("n_blocks").cast("double"))
+  }
+
   /** Banding-capacity lint (the 32-bit-SimHash lesson generalized): with N
     * docs hashed into 2^bandBits buckets per band, expected occupancy is
     * N/2^bandBits and the candidate join pays ≥ N²/2^bandBits pairs per

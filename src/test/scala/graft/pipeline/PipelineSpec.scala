@@ -76,6 +76,46 @@ class PipelineSpec extends SparkSuite {
     assert(cs === (3L + 2L, 1L + 6L))
   }
 
+  test("block dedup: copies fully duplicate, first occurrence wins, short docs drop") {
+    val df = Seq(
+      (1L, ("alpha " * 10 + "beta " * 10).trim),     // blocks: [alpha×10], [beta×10]
+      (2L, ("alpha " * 10).trim + " tail words"),    // block 1 dups doc1's; tail < 10 ignored
+      (3L, "too short")                              // < 10 words → no blocks
+    ).toDF("doc_id", "text")
+    val got = Dedup.blockDedupStats(df, "doc_id", "text", w = 10)
+      .orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0L, 0.0), (2L, 1L, 1L, 1.0)))
+    // wordBlocks keeps order and drops the partial tail
+    val blocks = df.where(col("doc_id") === 2)
+      .select(Dedup.wordBlocks(col("text"), 10)).as[Seq[String]].head()
+    assert(blocks === Seq(("alpha " * 10).trim))
+  }
+
+  test("sequence packing: contiguous concat-and-cut layout, bucket-invariant, empty docs") {
+    val df = Seq((0L, 100L), (1L, 924L), (2L, 0L), (3L, 2000L), (4L, 50L))
+      .toDF("doc_id", "n_tok")
+    val got = Packing.packSequences(df, "doc_id", "n_tok", budget = 1024L, bucketSize = 2L)
+      .orderBy("id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // cum_before: 0, 100, 1024, 1024, 3024
+    assert(got === Seq(
+      (0L, 100L, 0L, 0L, 1L),     // fits in bin 0
+      (1L, 924L, 0L, 100L, 1L),   // exactly fills bin 0 (100+924 = 1024)
+      (2L, 0L, 1L, 0L, 0L),       // empty doc spans nothing
+      (3L, 2000L, 1L, 0L, 2L),    // 2000 tokens from a bin boundary → 2 bins
+      (4L, 50L, 2L, 976L, 2L)))   // starts near the end of bin 2, straddles
+    // bucketSize is an implementation knob, never a semantic one
+    for (bs <- Seq(1L, 3L, 1000L)) {
+      val alt = Packing.packSequences(df, "doc_id", "n_tok", 1024L, bs)
+        .orderBy("id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(alt === got, s"bucketSize=$bs changed the packing")
+    }
+    // bin report: 3074 tokens → 4 bins (ceil), fill = 3074/4096
+    val rep = Packing.binReport(df.withColumnRenamed("doc_id", "id"), 1024L)
+      .as[(Long, Long, Double)].head()
+    assert(rep._1 === 3074L && rep._2 === 4L)
+    assert(math.abs(rep._3 - 3074.0 / 4096.0) < 1e-12)
+  }
+
   test("near-duplicate text lands in the same minhash band bucket") {
     val base = docs.select("doc_id", "text")
     // duplicate the first 10 docs with shifted ids: identical text must share
