@@ -4,7 +4,7 @@ import graft.core.{Rule, Violations}
 import graft.core.Rule._
 import graft.global.{Referential, Uniqueness}
 import graft.pipeline.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Vocab}
-import graft.stats.{ColumnStats, Drift}
+import graft.stats.{ColumnStats, Drift, PackInference}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -709,6 +709,22 @@ object SparkEntry {
           Vocab.idChecksum(col("token_ids")).as("checksum"))
         .orderBy("doc_id")
     }),
+
+    "p24_bigram_nll" -> ((s, dir) =>
+      // corpus-trained bigram-LM quality score (CCNet-style perplexity
+      // proxy): add-one smoothed p(w2|w1), mean neg-log2 per doc
+      TextAnalysis.bigramNll(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("nll6"))
+        .orderBy("doc_id")),
+
+    "v33_pack_inference" -> ((s, dir) =>
+      // rule-pack INFERENCE: the one-pass profile artifact a new corpus's
+      // first pack derives from (types from schema, bounds from data,
+      // enums for low-cardinality strings); the infer() law — the pack
+      // validates its own corpus violation-free — is spec-pinned
+      PackInference.inferredProfile(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"), enumThreshold = 16)
+        .orderBy("column")),
 
     "p22_block_dedup" -> ((s, dir) => {
       // block-level exact dedup (RefinedWeb/CCNet line-dedup family):
@@ -1841,6 +1857,38 @@ object SparkEntry {
         |       ELSE n_oov::DOUBLE / n_tok::DOUBLE END, 6) AS oov_rate6,
         | coalesce(checksum, 0)::BIGINT AS checksum
         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "p24_bigram_nll" ->
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  x -> len(x) > 0) AS ws FROM documents),
+        |bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bi, ws[i] AS w1
+        |       FROM d CROSS JOIN unnest(range(1, len(ws))) t(i)),
+        |bc AS (SELECT bi, count(*) AS c12 FROM bi GROUP BY bi),
+        |uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS V FROM
+        |       (SELECT unnest(ws) AS w FROM d)),
+        |s AS (SELECT doc_id,
+        |       -log2((c12 + 1)::DOUBLE / (c1 + V)::DOUBLE) AS nll
+        |      FROM bi JOIN bc USING (bi) JOIN uc USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS nll6
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "v33_pack_inference" -> {
+      def num(c: String, jt: String) =
+        s"""SELECT '$c' AS "column", '$jt' AS json_type,
+           | (count(*) - count($c))::BIGINT AS n_null,
+           | count(DISTINCT $c)::BIGINT AS n_distinct,
+           | min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
+           | NULL::VARCHAR AS enum_vals FROM documents""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', 'string', (count(*) - count($c))::BIGINT,
+           | count(DISTINCT $c)::BIGINT, NULL::DOUBLE, NULL::DOUBLE,
+           | CASE WHEN count(DISTINCT $c) <= 16
+           |   THEN array_to_string(list_sort(list(DISTINCT $c)), ',')
+           |   ELSE NULL END FROM documents""".stripMargin
+      Seq(num("doc_id", "integer"), str("lang"), str("source"),
+        num("n_chars", "integer")).mkString("", "\nUNION ALL ", "\nORDER BY \"column\"")
+    },
 
     "p22_block_dedup" ->
       """WITH all_docs AS (SELECT doc_id, text FROM documents

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -200,5 +200,43 @@ object TextAnalysis {
     base.join(top, Seq("id"), "left")
       .withColumn("top_bigram_frac",
         round(col("top_bigram_n").cast("double") / nullif(col("n_bigrams").cast("double"), lit(0.0)), 6))
+  }
+
+  /** Ordered word bigrams "w1 w2" of a document — array-domain (zip against
+    * the 1-shifted slice; no lambda capture of the word array, zip_with
+    * null-pads the tail away). */
+  def bigramArray(text: Column): Column = {
+    val ws = words(text)
+    filter(zip_with(ws, slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b)), x => x.isNotNull)
+  }
+
+  /** Corpus bigram language-model score (the CCNet-style perplexity quality
+    * signal, trained on the corpus itself — no external LM): add-one
+    * smoothed conditional probability p(w2|w1) = (c(w1 w2) + 1) /
+    * (c(w1 ·) + V), each document scored by the mean negative log2
+    * probability of its bigrams. High `nll` = improbable word sequences —
+    * gibberish / OCR noise / boilerplate candidates. `c(w1 ·)` counts w1 in
+    * bigram-FIRST position (self-consistent, no doc-final off-by-one);
+    * V = distinct words in the corpus.
+    *
+    * Scale: two partial-aggregated counts (bigram, first-word), two
+    * key-shuffled joins of the doc-bigram stream against them (uniform
+    * keys), one broadcast scalar for V, one per-doc counter rollup —
+    * linear, no pairwise anything. Docs with < 2 words emit nothing.
+    * Output `(id, n_bigrams, nll6)` (mean nll rounded to 6 — float
+    * summation order is engine-dependent beyond that). */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docBi = df.select(col(idCol).as("id"), explode(bigramArray(col(textCol))).as("bi"))
+      .withColumn("w1", substring_index(col("bi"), " ", 1))
+    val bc = docBi.groupBy("bi").agg(count(lit(1)).as("c12"))
+    val uc = docBi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = df.select(explode(words(col(textCol))).as("w"))
+      .agg(count_distinct(col("w")).as("V"))
+    docBi.join(bc, "bi").join(uc, "w1").crossJoin(broadcast(v))
+      .withColumn("nll", -log(2.0,
+        (col("c12") + 1).cast("double") / (col("c1") + col("V")).cast("double")))
+      .groupBy("id").agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 6).as("nll6"))
   }
 }

@@ -116,6 +116,18 @@ class PipelineSpec extends SparkSuite {
     assert(math.abs(rep._3 - 3074.0 / 4096.0) < 1e-12)
   }
 
+  test("bigram LM nll: hand-computed add-one smoothing on a toy corpus") {
+    // corpus: "a b a", "a b", "solo" → c("a b")=2, c("b a")=1, c1(a)=2,
+    // c1(b)=1, V=3 (a,b,solo) ⇒ p(a b)=3/5, p(b a)=2/4;
+    // doc1 mean nll = (-log2(0.6) + 1)/2 = 0.868483, doc2 = 0.736966
+    val df = Seq((1L, "a b a"), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNll(df, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 2L)) // <2-word docs emit nothing
+    assert(got(0)._2 === 2L && math.abs(got(0)._3 - 0.868483) < 1e-6)
+    assert(got(1)._2 === 1L && math.abs(got(1)._3 - 0.736966) < 1e-6)
+  }
+
   test("near-duplicate text lands in the same minhash band bucket") {
     val base = docs.select("doc_id", "text")
     // duplicate the first 10 docs with shifted ids: identical text must share
