@@ -560,9 +560,11 @@ object SparkEntry {
       // the file source watches a DIRECTORY; stage the single parquet file
       // into a temp dir (exactly what a streaming ingest drop-zone is)
       val stage = java.nio.file.Files.createTempDirectory("st03_events")
+      stage.toFile.deleteOnExit()
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         stage.resolve("events.parquet"))
+      stage.resolve("events.parquet").toFile.deleteOnExit()
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val stream = s.readStream.schema(schema).parquet(stage.toString)
         .withColumn("ts", col("ts").cast("timestamp"))

@@ -164,7 +164,13 @@ object Similarity {
     * `n > cap`. */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
       tables: Int, bitsPerTable: Int, maxBucketSize: Option[Int] = None,
-      dims: Option[Int] = None): DataFrame = {
+      dims: Option[Int] = None, expectedDocs: Option[Long] = None): DataFrame = {
+    // capacity lint (same intent as Dedup.lintBanding): candidate volume is
+    // Σ bucket² and E[bucket] = N/2^r — warn at plan-build time when the
+    // bit width cannot hold the corpus
+    expectedDocs.foreach(n =>
+      Dedup.lintBanding(n, bandBits = bitsPerTable, bands = tables)
+        .foreach(m => Console.err.println(s"[graft.Similarity] WARN $m")))
     val keyed = lshBucketIndex(df, idCol, vecCol, tables, bitsPerTable, dims)
     val bounded = maxBucketSize match {
       case Some(cap) =>

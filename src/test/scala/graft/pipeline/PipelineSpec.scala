@@ -128,6 +128,44 @@ class PipelineSpec extends SparkSuite {
     assert(got(1)._2 === 1L && math.abs(got(1)._3 - 0.736966) < 1e-6)
   }
 
+  test("packing matches a sequential reference on random workloads (property)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 300L).map(i => (i, rnd.nextInt(2000).toLong))
+    val budget = 777L
+    var cum = 0L
+    val want = rows.map { case (id, n) =>
+      val start = cum / budget; val off = cum % budget
+      val spans = if (n == 0) 0L else (cum + n - 1) / budget - start + 1
+      cum += n
+      (id, n, start, off, spans)
+    }
+    for (bs <- Seq(7L, 64L, 100000L)) {
+      val got = Packing.packSequences(rows.toDF("doc_id", "n_tok"),
+          "doc_id", "n_tok", budget, bs)
+        .orderBy("id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got === want, s"bucketSize=$bs diverged from the sequential fold")
+    }
+  }
+
+  test("pigeonhole property: any <=3-bit perturbation of a 64-bit fingerprint shares a 16-bit band") {
+    // the recall theorem simhashNearDupPairs64 relies on, checked over
+    // random fingerprints and adversarial bit-flip sets (incl. flips
+    // concentrated in one band and spread across three)
+    val rnd = new scala.util.Random(42)
+    def bands(x: Long): Seq[Long] = (0 until 4).map(b => (x >>> (16 * b)) & 0xffffL)
+    for (_ <- 1 to 5000) {
+      val x = rnd.nextLong()
+      val flips = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(4))
+      val y = flips.foldLeft(x)((v, b) => v ^ (1L << b))
+      assert(bands(x).zip(bands(y)).exists { case (a, b) => a == b },
+        s"x=$x flips=$flips lost every band")
+    }
+    // and 4 flips, one per band, CAN lose every band (the bound is tight)
+    val x = 0L
+    val y = (1L << 0) ^ (1L << 16) ^ (1L << 32) ^ (1L << 48)
+    assert(!bands(x).zip(bands(y)).exists { case (a, b) => a == b })
+  }
+
   test("near-duplicate text lands in the same minhash band bucket") {
     val base = docs.select("doc_id", "text")
     // duplicate the first 10 docs with shifted ids: identical text must share
