@@ -712,6 +712,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p25_drop_repeated_blocks" -> ((s, dir) => {
+      // transformation leg of repetition cleaning: each doc is prefixed
+      // with THREE copies of its own first-10-word block (guaranteed
+      // aligned repeats), then in-doc block dedup reassembles the text —
+      // the oracle pins the exact reconstructed string via md5
+      val ws = TextAnalysis.words(col("text"))
+      val f10 = array_join(slice(ws, 1, 10), " ")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws(" ", f10, f10, f10, array_join(ws, " ")).as("text"))
+      Dedup.dropRepeatedBlocksInDoc(docs, "doc_id", "text", w = 10)
+        .select(col("id").as("doc_id"), col("n_blocks"), col("n_blocks_kept"),
+          md5(col("clean_text").cast("binary")).as("clean_fp"))
+        .orderBy("doc_id")
+    }),
+
     "p24_bigram_nll" -> ((s, dir) =>
       // corpus-trained bigram-LM quality score (CCNet-style perplexity
       // proxy): add-one smoothed p(w2|w1), mean neg-log2 per doc
@@ -1859,6 +1875,25 @@ object SparkEntry {
         |       ELSE n_oov::DOUBLE / n_tok::DOUBLE END, 6) AS oov_rate6,
         | coalesce(checksum, 0)::BIGINT AS checksum
         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "p25_drop_repeated_blocks" ->
+      """WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  x -> len(x) > 0) AS ws FROM documents),
+        |rep AS (SELECT doc_id,
+        |  array_to_string(ws[1:10], ' ') AS f10,
+        |  array_to_string(ws, ' ') AS orig FROM d0),
+        |d AS (SELECT doc_id, list_filter(string_split_regex(
+        |  lower(trim(f10 || ' ' || f10 || ' ' || f10 || ' ' || orig)), '\s+'),
+        |  x -> len(x) > 0) AS ws FROM rep),
+        |b AS (SELECT doc_id, i AS bidx,
+        |  array_to_string(ws[i*10+1 : i*10+10], ' ') AS block
+        | FROM d CROSS JOIN unnest(range(0, (len(ws) + 9) // 10)) t(i)),
+        |r AS (SELECT doc_id, bidx, block,
+        |  row_number() OVER (PARTITION BY doc_id, block ORDER BY bidx) AS rn FROM b)
+        |SELECT doc_id, count(*) AS n_blocks,
+        | sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_blocks_kept,
+        | md5(string_agg(block, ' ' ORDER BY bidx) FILTER (WHERE rn = 1)) AS clean_fp
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "p24_bigram_nll" ->
       """WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

@@ -583,6 +583,40 @@ object Dedup {
         col("n_dup_blocks").cast("double") / col("n_blocks").cast("double"))
   }
 
+  /** IN-DOCUMENT repeated-block removal — the TRANSFORMATION leg of
+    * repetition cleaning ([[TextAnalysis.repetitionSignals]] is the
+    * detection leg): the document's w-word blocks (tail partial block
+    * included) deduplicate WITHIN the doc, first occurrence kept in
+    * original order, text reassembled. Output
+    * `(id, clean_text, n_blocks, n_blocks_kept)`; word-free docs emit
+    * nothing.
+    *
+    * Scale: explode words → ONE `groupBy(id, block_idx)` reassembles
+    * blocks (the corpus' only data shuffle, keyed fine-grained), the
+    * within-doc first-occurrence window shuffles one row per BLOCK, and
+    * the final per-doc rollup one row per kept block. Linear, no joins. */
+  def dropRepeatedBlocksInDoc(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "word")))
+    val blocks = words
+      .withColumn("bidx", floor(col("pos") / w).cast("long"))
+      .groupBy("id", "bidx")
+      .agg(collect_list(struct(col("pos"), col("word"))).as("pw"))
+      .select(col("id"), col("bidx"),
+        array_join(transform(array_sort(col("pw")), p => p.getField("word")), " ").as("block"))
+    val firstWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("id", "block").orderBy("bidx")
+    val marked = blocks.withColumn("rn", row_number().over(firstWin))
+    marked.groupBy("id").agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_blocks_kept"),
+        array_join(transform(array_sort(
+            collect_list(when(col("rn") === 1, struct(col("bidx"), col("block"))))),
+          b => b.getField("block")), " ").as("clean_text"))
+      .select(col("id"), col("clean_text"), col("n_blocks"), col("n_blocks_kept"))
+  }
+
   /** Banding-capacity lint (the 32-bit-SimHash lesson generalized): with N
     * docs hashed into 2^bandBits buckets per band, expected occupancy is
     * N/2^bandBits and the candidate join pays ≥ N²/2^bandBits pairs per

@@ -128,6 +128,20 @@ class PipelineSpec extends SparkSuite {
     assert(got(1)._2 === 1L && math.abs(got(1)._3 - 0.736966) < 1e-6)
   }
 
+  test("in-doc repeated-block removal keeps the first occurrence and reassembles in order") {
+    val df = Seq(
+      (1L, ("x " * 10 + "x " * 10 + "y " * 10).trim), // [x×10],[x×10],[y×10]
+      (2L, "a b c"),                                  // one partial block
+      (3L, "")                                        // no words → absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropRepeatedBlocksInDoc(df, "doc_id", "text", w = 10)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 2L))
+    assert(got(0)._3 === 3L && got(0)._4 === 2L)
+    assert(got(0)._2 === ("x " * 10).trim + " " + ("y " * 10).trim)
+    assert(got(1)._2 === "a b c" && got(1)._3 === 1L && got(1)._4 === 1L)
+  }
+
   test("packing matches a sequential reference on random workloads (property)") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 300L).map(i => (i, rnd.nextInt(2000).toLong))
