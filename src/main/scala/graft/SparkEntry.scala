@@ -712,6 +712,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p26_temperature_mixture" -> ((s, dir) =>
+      // multinomial source rebalancing: keep-rates ∝ c^α·budget/c at
+      // α = 0.5 (IEEE sqrt — bit-reproducible in both engines), rounded to
+      // 6 decimals, applied as the deterministic id-hash threshold
+      Sampling.temperatureSample(t(s, dir, "documents"), "lang", "doc_id",
+          alpha = 0.5, totalBudget = 300L)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
+
     "p25_drop_repeated_blocks" -> ((s, dir) => {
       // transformation leg of repetition cleaning: each doc is prefixed
       // with THREE copies of its own first-10-word block (guaranteed
@@ -1875,6 +1884,20 @@ object SparkEntry {
         |       ELSE n_oov::DOUBLE / n_tok::DOUBLE END, 6) AS oov_rate6,
         | coalesce(checksum, 0)::BIGINT AS checksum
         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "p26_temperature_mixture" ->
+      // z summed over lang-sorted weights (list_aggregate of an ORDERed
+      // list) so the float fold matches the driver's sorted fold exactly
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |z AS (SELECT list_aggregate(list(sqrt(c::DOUBLE) ORDER BY lang), 'sum') AS z FROM c),
+        |rates AS (SELECT lang,
+        |  round(least(1.0, sqrt(c::DOUBLE) / z * 300 / c::DOUBLE), 6) AS rate
+        | FROM c CROSS JOIN z)
+        |SELECT d.lang, count(*) AS n_kept
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE ('0x' || substr(md5('split0:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+        |      / 4294967296.0 < r.rate
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "p25_drop_repeated_blocks" ->
       """WITH d0 AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),

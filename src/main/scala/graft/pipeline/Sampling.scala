@@ -44,4 +44,41 @@ object Sampling {
     }
     df.where(unitHash(col(idCol), seed) < rateCol)
   }
+
+  /** Temperature-mixture keep-rates (the multinomial source-rebalancing
+    * step of multilingual/multi-source pretraining, Lample & Conneau-style):
+    * given per-group sizes c_i, target mixture p_i ∝ c_i^alpha (alpha < 1
+    * upweights the tail), and a total budget of `totalBudget` rows, the
+    * keep-rate for group i is min(1, p_i · totalBudget / c_i). Rates are
+    * rounded to 6 decimals so the engine-portable threshold compare is
+    * immune to last-ulp libm differences (alpha = 0.5 is exactly IEEE-sqrt
+    * and the DuckDB oracle reproduces it bit-for-bit).
+    *
+    * Pure driver-side arithmetic over ONE tiny (group, count) aggregate —
+    * the group order is sorted before the normalizing sum so the float
+    * fold is deterministic and engine-reproducible. */
+  def temperatureRates(counts: Seq[(String, Long)], alpha: Double,
+      totalBudget: Long): Seq[(String, Double)] = {
+    val sorted = counts.sortBy(_._1)
+    val weights = sorted.map { case (g, c) => g -> math.pow(c.toDouble, alpha) }
+    val z = weights.map(_._2).sum
+    sorted.zip(weights).map { case ((g, c), (_, w)) =>
+      val raw = math.min(1.0, w / z * totalBudget / c.toDouble)
+      // half-away-from-zero at 6 decimals — DuckDB round() semantics
+      g -> BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
+  /** [[stratifiedSample]] with rates derived by [[temperatureRates]] from
+    * the corpus' own group counts: one counter aggregation (collected —
+    * one row per GROUP), then a pure hash-threshold projection. Groups
+    * outside the counted set keep nothing (rate 0 — the budget was
+    * allocated over the observed groups). */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, totalBudget: Long, seed: Int = 0): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val rates = temperatureRates(counts, alpha, totalBudget).toMap
+    stratifiedSample(df, groupCol, idCol, rates, defaultRate = 0.0, seed)
+  }
 }

@@ -128,6 +128,30 @@ class PipelineSpec extends SparkSuite {
     assert(got(1)._2 === 1L && math.abs(got(1)._3 - 0.736966) < 1e-6)
   }
 
+  test("temperature mixture: alpha<1 upweights the tail, rates cap at 1, budget ~honored") {
+    // two groups 900 vs 100: uniform (alpha=1) keeps 50% of each; alpha=0.5
+    // shifts budget toward the small group
+    val counts = Seq("big" -> 900L, "small" -> 100L)
+    val r1 = Sampling.temperatureRates(counts, alpha = 1.0, totalBudget = 500L).toMap
+    assert(math.abs(r1("big") - 0.5) < 1e-6 && math.abs(r1("small") - 0.5) < 1e-6)
+    val r05 = Sampling.temperatureRates(counts, alpha = 0.5, totalBudget = 360L).toMap
+    assert(r05("small") > r05("big"), "alpha=0.5 must upweight the tail group")
+    // expected kept = budget exactly while the min(1,·) cap is slack
+    // (w = (30,10), z = 40 → rates 0.3 and 0.9 → 270 + 90 = 360)
+    val kept = counts.map { case (g, c) => r05(g) * c }.sum
+    assert(math.abs(kept - 360.0) < 1.0)
+    // cap: a tiny group under a huge budget keeps everything, never > 1
+    val capped = Sampling.temperatureRates(Seq("a" -> 10L, "b" -> 1000L), 0.5, 100000L).toMap
+    assert(capped("a") === 1.0 && capped("b") === 1.0)
+    // end-to-end: deterministic, repartition-invariant application
+    val df = docs.select("doc_id", "lang")
+    val a = Sampling.temperatureSample(df, "lang", "doc_id", 0.5, 300L)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val b = Sampling.temperatureSample(df.repartition(7), "lang", "doc_id", 0.5, 300L)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("in-doc repeated-block removal keeps the first occurrence and reassembles in order") {
     val df = Seq(
       (1L, ("x " * 10 + "x " * 10 + "y " * 10).trim), // [x×10],[x×10],[y×10]
