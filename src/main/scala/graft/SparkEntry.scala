@@ -581,6 +581,34 @@ object SparkEntry {
         .orderBy("window_start")
     }),
 
+    "st04_stream_histogram" -> ((s, dir) => {
+      // the drift monitor's sketch emitter gated as a REAL stream (same
+      // harness as st03): hourly fixed-bin histogram counters, append mode
+      // emits the watermark-closed windows; counts are exact integers so
+      // the streamed sketch is bit-identical to the batch histogram
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("st04_events")
+      stage.toFile.deleteOnExit()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      stage.resolve("events.parquet").toFile.deleteOnExit()
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(stage.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val sink = s"st04_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.StreamingValidate
+        .windowedHistogram(stream, "ts", "value", "1 hour", "30 minutes",
+          lo = 0.0, hi = 500.0, bins = 10)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.table(sink)
+        .select(col("window_start").cast("long").as("window_start"),
+          col("bin").cast("long").as("bin"), col("n"))
+        .orderBy("window_start", "bin")
+    }),
+
     "st01_stream_window_batch" -> ((s, dir) =>
       // batch-equivalent of the Structured Streaming tumbling-window query
       // (the streaming path itself is exercised in StreamingSpec)
@@ -1683,6 +1711,18 @@ object SparkEntry {
         | CASE WHEN sum(failed) = 0 THEN 'pass' ELSE 'fail' END AS verdict
         |FROM w, mx WHERE ws + 3600 <= epoch(m) - 1800
         |GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "st04_stream_histogram" ->
+      // watermark derives from the POST-FILTER stream (nulls dropped before
+      // withWatermark in the operator), so mx filters the same way
+      """WITH f AS (SELECT ts, value FROM events WHERE value IS NOT NULL),
+        |mx AS (SELECT max(ts) AS m FROM f),
+        |h AS (SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS ws,
+        |  least(greatest(CAST(floor(value::DOUBLE / 50.0) AS BIGINT), 0), 9) AS bin
+        | FROM f)
+        |SELECT ws AS window_start, bin, count(*) AS n
+        |FROM h, mx WHERE ws + 3600 <= epoch(m) - 1800
+        |GROUP BY ws, bin ORDER BY ws, bin""".stripMargin,
 
     "st01_stream_window_batch" ->
       """SELECT CAST(floor(epoch(ts)/300) AS BIGINT)*300 AS bucket_start, event_type,
