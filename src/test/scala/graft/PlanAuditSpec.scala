@@ -185,6 +185,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("items bound guard is present in the token-audit validate plan") {
+    // the round-4 2.2x lever: per-element Items(Minimum/Maximum) work must
+    // hide behind the codegen'd array_min/array_max pre-check — a compiler
+    // refactor that drops the guard reverts the audit to interpreted
+    // per-element HOFs on every row
+    val facts = graft.sources.TokenGen.tokenSequences(spark, 1000, numPartitions = 2, maxLen = 16)
+    val pack = graft.tools.AuditCli.tokenRulePack(maxLen = 16)
+    val plan = graft.core.Violations.validate(facts, pack, Seq("doc_id"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("array_min") && plan.contains("array_max"),
+      "items bound guard dropped from the compiled validation expression")
+  }
+
   test("parquet-backed validation runs inside whole-stage codegen (no UDFs to break it)") {
     // `*(n)` node prefixes in the plan string = WholeStageCodegenExec spans;
     // AQE only inserts them into the FINAL plan, so execute first
