@@ -38,6 +38,11 @@ object Vocab {
 
   /** Map each document's whitespace-token stream to vocabulary ids.
     *
+    * CONTRACT: `vocab` must be unique on `token` — a duplicated token
+    * would fan out every occurrence through the join and silently corrupt
+    * counts and positions ([[buildVocabulary]] is unique by construction;
+    * external vocab tables should be deduplicated before use).
+    *
     * OOV policy: `oovId = Some(x)` substitutes x for unknown tokens (the
     * `<unk>` convention); `None` DROPS unknown tokens (positions close up,
     * relative order preserved). Either way `n_oov` counts them, so the
