@@ -362,6 +362,11 @@ object Dedup {
       family: HashFamily = XxFast, maxIter: Int = 20): DataFrame = {
     val signed = minhashSignatures(df, idCol, textCol, shingleK, numHashes, family)
       .select(col("id") +: bandKeys(numHashes, bands): _*)
+    // NOTE (measured, round 4): pre-partitioning TWO checkpointed copies of
+    // the index (by id and by bucket) to feed each join pre-shuffled is
+    // SLOWER at bench scale (7.1 vs 5.1 s) — the double materialization
+    // plus two build-time repartition exchanges cost more than the 2–3
+    // propagation rounds save. Single unpartitioned checkpoint retained.
     val index = signed.select(col("id"),
         explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("bucket"))
       .localCheckpoint()
