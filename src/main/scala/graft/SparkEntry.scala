@@ -740,6 +740,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p27_domain_filter" -> ((s, _) => {
+      import s.implicits._
+      // C4-style URL/domain blocklist filtering on inline fixtures (the
+      // corpus tables carry no URLs): host extraction with port stripping,
+      // registered-domain reduction, broadcast blocklist semi-count
+      val docs = Seq(
+        (1L, "see https://spam.example/page and http://ok.org/x"),
+        (2L, "links http://sub.spam.example:8080/y https://news.ok.org"),
+        (3L, "no urls at all"),
+        (4L, "HTTPS://OK.ORG mixed case http://a.b.spam.example/z"),
+        (5L, "bare host spam.example without scheme")).toDF("doc_id", "text")
+      val blocked = Seq("spam.example").toDF("domain")
+      TextAnalysis.domainFilter(docs, "doc_id", "text", blocked)
+        .select(col("id").as("doc_id"), col("n_urls"), col("n_blocked_urls"), col("blocked"))
+        .orderBy("doc_id")
+    }),
+
     "p26_temperature_mixture" -> ((s, dir) =>
       // multinomial source rebalancing: keep-rates ∝ c^α·budget/c at
       // α = 0.5 (IEEE sqrt — bit-reproducible in both engines), rounded to
@@ -1924,6 +1941,28 @@ object SparkEntry {
         |       ELSE n_oov::DOUBLE / n_tok::DOUBLE END, 6) AS oov_rate6,
         | coalesce(checksum, 0)::BIGINT AS checksum
         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "p27_domain_filter" ->
+      """WITH docs(doc_id, text) AS (VALUES
+        |  (1, 'see https://spam.example/page and http://ok.org/x'),
+        |  (2, 'links http://sub.spam.example:8080/y https://news.ok.org'),
+        |  (3, 'no urls at all'),
+        |  (4, 'HTTPS://OK.ORG mixed case http://a.b.spam.example/z'),
+        |  (5, 'bare host spam.example without scheme')),
+        |blocked(domain) AS (VALUES ('spam.example')),
+        |h AS (SELECT doc_id, unnest(list_transform(
+        |  regexp_extract_all(lower(text), 'https?://([^/\s]+)', 1),
+        |  x -> string_split(x, ':')[1])) AS host FROM docs),
+        |d AS (SELECT doc_id, host,
+        |  CASE WHEN len(string_split(host, '.')) >= 2
+        |    THEN string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+        |    ELSE host END AS domain FROM h),
+        |m AS (SELECT doc_id, domain IN (SELECT domain FROM blocked) AS blk FROM d),
+        |agg AS (SELECT doc_id, count(*) AS n_urls,
+        |        sum(CASE WHEN blk THEN 1 ELSE 0 END) AS nb FROM m GROUP BY doc_id)
+        |SELECT docs.doc_id::BIGINT AS doc_id, coalesce(n_urls, 0)::BIGINT AS n_urls,
+        | coalesce(nb, 0)::BIGINT AS n_blocked_urls, coalesce(nb, 0) > 0 AS blocked
+        |FROM docs LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "p26_temperature_mixture" ->
       // z summed over lang-sorted weights (list_aggregate of an ORDERed

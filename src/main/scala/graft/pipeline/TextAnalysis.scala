@@ -202,6 +202,43 @@ object TextAnalysis {
         round(col("top_bigram_n").cast("double") / nullif(col("n_bigrams").cast("double"), lit(0.0)), 6))
   }
 
+  /** Hosts of all http(s) URLs in a document: lowercased, ports stripped.
+    * Java∩RE2 regex (no lookarounds) so the DuckDB oracle extracts the
+    * identical list. */
+  def urlHosts(text: Column): Column =
+    transform(regexp_extract_all(lower(text), lit("https?://([^/\\s]+)"), lit(1)),
+      h => substring_index(h, ":", 1))
+
+  /** Registered-domain approximation: the last two dot-labels of a host —
+    * the C4-style blocklist granularity (a public-suffix list plugs into
+    * the same column when available). Single-label hosts pass through. */
+  def registeredDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    when(size(parts) >= 2,
+      concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+      .otherwise(host)
+  }
+
+  /** Domain blocklist verdict per document — the C4/RefinedWeb URL-filter
+    * step: extract every linked domain, flag the doc if ANY hits the
+    * blocklist. The blocklist BROADCASTS (it is a curated list); the
+    * per-doc rollup is one counter groupBy; docs without URLs survive with
+    * zero counts (explode_outer). Output
+    * `(id, n_urls, n_blocked_urls, blocked)`. */
+  def domainFilter(df: DataFrame, idCol: String, textCol: String,
+      blockedDomains: DataFrame): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+        explode_outer(urlHosts(col(textCol))).as("host"))
+      .withColumn("domain", registeredDomain(col("host")))
+    val marked = exploded.join(
+      broadcast(blockedDomains.select(col("domain"), lit(true).as("__blk"))),
+      Seq("domain"), "left")
+    marked.groupBy("id").agg(
+        sum(when(col("host").isNotNull, 1L).otherwise(0L)).as("n_urls"),
+        sum(when(col("__blk"), 1L).otherwise(0L)).as("n_blocked_urls"))
+      .withColumn("blocked", col("n_blocked_urls") > 0)
+  }
+
   /** Ordered word bigrams "w1 w2" of a document — array-domain (zip against
     * the 1-shifted slice; no lambda capture of the word array, zip_with
     * null-pads the tail away). */

@@ -116,6 +116,21 @@ class PipelineSpec extends SparkSuite {
     assert(math.abs(rep._3 - 3074.0 / 4096.0) < 1e-12)
   }
 
+  test("domain filter: subdomains reduce to the registered domain, ports stripped, no-URL docs pass") {
+    val df = Seq(
+      (1L, "x https://spam.example/p y"),
+      (2L, "x http://a.b.spam.example:9090/q y"), // deep subdomain + port → blocked
+      (3L, "x https://ok.org/r http://spam.example/s"),
+      (4L, "plain text"),
+      (5L, "spam.example mentioned but not linked")).toDF("doc_id", "text")
+    val blocked = Seq("spam.example").toDF("domain")
+    val got = TextAnalysis.domainFilter(df, "doc_id", "text", blocked)
+      .orderBy("id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L, true), (2L, 1L, 1L, true), (3L, 2L, 1L, true),
+      (4L, 0L, 0L, false), (5L, 0L, 0L, false)))
+  }
+
   test("bigram LM nll: hand-computed add-one smoothing on a toy corpus") {
     // corpus: "a b a", "a b", "solo" → c("a b")=2, c("b a")=1, c1(a)=2,
     // c1(b)=1, V=3 (a,b,solo) ⇒ p(a b)=3/5, p(b a)=2/4;
