@@ -740,6 +740,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p28_dedup_keepers" -> ((s, dir) => {
+      // keep-best-per-group: dedup GROUPS (bipartite min-label) × quality
+      // score → one representative per group (highest quality, ties to the
+      // smallest id) — the decision a cleaning pipeline actually ships
+      val docs = t(s, dir, "documents")
+      val comps = Dedup.minhashComponents(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 8, family = Dedup.Md5Portable)
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      Dedup.groupRepresentatives(comps, scored, "doc_id", "quality")
+        .orderBy("component")
+    }),
+
     "p27_domain_filter" -> ((s, _) => {
       import s.implicits._
       // C4-style URL/domain blocklist filtering on inline fixtures (the
@@ -1941,6 +1954,36 @@ object SparkEntry {
         |       ELSE n_oov::DOUBLE / n_tok::DOUBLE END, 6) AS oov_rate6,
         | coalesce(checksum, 0)::BIGINT AS checksum
         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "p28_dedup_keepers" ->
+      // components via the same recursive closure as p10; quality via the
+      // same expression as p04; keeper = row_number over (quality DESC, id)
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |bi AS (SELECT id_a AS src, id_b AS dst FROM cand
+         |       UNION ALL SELECT id_b, id_a FROM cand),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM bi
+         |  UNION
+         |  SELECT bi.dst, reach.lab FROM reach JOIN bi ON bi.src = reach.node),
+         |comp AS (SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node),
+         |qb AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS qws,
+         |  len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|you|for)\\b'))::BIGINT AS qn_stop,
+         |  len(regexp_extract_all(text, '[[:punct:]]'))::DOUBLE AS qn_punct,
+         |  length(text) AS qn_chars
+         | FROM documents),
+         |q AS (SELECT doc_id, COALESCE(
+         |  least(len(qws)::DOUBLE / 100.0, 1.0) * 0.5
+         |  + least((qn_stop::DOUBLE / nullif(len(qws), 0)::DOUBLE) * 5.0, 1.0) * 0.3
+         |  + (1.0 - least((qn_punct / nullif(qn_chars, 0)::DOUBLE) * 5.0, 1.0)) * 0.2, 0.0) AS quality
+         | FROM qb),
+         |j AS (SELECT c.component, c.doc_id, q.quality
+         |      FROM comp c JOIN q USING (doc_id)),
+         |r AS (SELECT component, doc_id, quality,
+         |  row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn,
+         |  count(*) OVER (PARTITION BY component) AS group_size FROM j)
+         |SELECT component, doc_id AS keep_id, quality AS keep_score, group_size
+         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
 
     "p27_domain_filter" ->
       """WITH docs(doc_id, text) AS (VALUES

@@ -622,6 +622,23 @@ object Dedup {
       .select(col("id"), col("clean_text"), col("n_blocks"), col("n_blocks_kept"))
   }
 
+  /** One representative per duplicate group — the keep-best policy a
+    * cleaning pipeline applies after grouping: the member with the highest
+    * `scoreCol` wins, ties break to the smallest id (total order →
+    * deterministic and engine-portable). One join + one partial-aggregated
+    * groupBy; the max rides a (score, −id) struct so no window over the
+    * full membership is needed. Output
+    * `(component, keep_id, keep_score, group_size)`. */
+  def groupRepresentatives(components: DataFrame, scored: DataFrame,
+      idCol: String, scoreCol: String): DataFrame =
+    components
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+      .groupBy("component")
+      .agg(max(struct(col("__s").as("s"), (-col("id")).as("negid"))).as("m"),
+        count(lit(1)).as("group_size"))
+      .select(col("component"), (-col("m.negid")).as("keep_id"),
+        col("m.s").as("keep_score"), col("group_size"))
+
   /** Banding-capacity lint (the 32-bit-SimHash lesson generalized): with N
     * docs hashed into 2^bandBits buckets per band, expected occupancy is
     * N/2^bandBits and the candidate join pays ≥ N²/2^bandBits pairs per

@@ -116,6 +116,16 @@ class PipelineSpec extends SparkSuite {
     assert(math.abs(rep._3 - 3074.0 / 4096.0) < 1e-12)
   }
 
+  test("group representatives: highest score wins, exact ties break to the smallest id") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "component")
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.1), (11L, 0.1))
+      .toDF("doc_id", "q")
+    val got = Dedup.groupRepresentatives(comps, scored, "doc_id", "q")
+      .orderBy("component").as[(Long, Long, Double, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0.9, 3L), (10L, 10L, 0.1, 2L)))
+  }
+
   test("domain filter: subdomains reduce to the registered domain, ports stripped, no-URL docs pass") {
     val df = Seq(
       (1L, "x https://spam.example/p y"),
