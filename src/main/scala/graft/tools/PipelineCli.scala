@@ -56,11 +56,17 @@ object PipelineCli {
       .drop("dup_word_frac", "top_bigram_frac", "entropy")
     val n2 = filtered.count()
 
-    // 3. near-dup collapse: banded MinHash pairs → components → keep min id
+    // 3. near-dup collapse: banded MinHash pairs → components → keep the
+    // BEST-quality member per group, ties to the smallest id (the quality
+    // column from stage 2 rides along for free; min-id keeping was the
+    // placeholder policy before groupRepresentatives existed)
     val pairs = Dedup.minhashCandidatePairs(filtered, "doc_id", "text",
       shingleK = 3, numHashes = 16, bands = 8, family = Dedup.XxFast)
     val comps = Dedup.connectedComponents(pairs)
-    val dropIds = comps.where(col("id") =!= col("component")).select(col("id").as("doc_id"))
+    val reps = Dedup.groupRepresentatives(comps,
+      filtered.select(col("doc_id"), col("quality")), "doc_id", "quality")
+    val dropIds = comps.join(reps.select(col("keep_id").as("id")), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"))
     val cleaned = filtered.join(dropIds, Seq("doc_id"), "left_anti")
       .drop("quality", "predicted_lang")
     val n3 = cleaned.count()
