@@ -62,6 +62,50 @@ object PackInference {
     row.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
 
+  /** Robust numeric bounds for inference: exact percentiles at
+    * `(loQ, hiQ)` instead of min/max — one corrupted outlier row cannot
+    * stretch the inferred range to cover future garbage (the min/max pack
+    * would accept anything between the corpse and the corpus). Exact R-7
+    * `percentile` here (oracle-matchable, same as v24); at 10¹²-row scale
+    * swap in `percentile_approx` — the artifact shape is identical.
+    * Output one row per column: `(column, lo, hi)`. */
+  def robustBounds(df: DataFrame, cols: Seq[String],
+      loQ: Double = 0.001, hiQ: Double = 0.999): DataFrame = {
+    require(cols.nonEmpty && cols.forall(c =>
+      df.schema(c).dataType.isInstanceOf[NumericType]), "numeric columns only")
+    val aggs = cols.flatMap(c => Seq(
+      expr(s"percentile($c, ${loQ}D)").as(s"${c}__lo"),
+      expr(s"percentile($c, ${hiQ}D)").as(s"${c}__hi")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = cols.map(c => struct(lit(c).as("column"),
+      col(s"${c}__lo").as("lo"), col(s"${c}__hi").as("hi")))
+    row.select(explode(array(perCol: _*)).as("p")).select("p.*")
+  }
+
+  /** [[infer]] with robust percentile bounds on the numeric columns
+    * (everything else identical): the drift-tolerant pack a production
+    * corpus should start from when single-row corruption is a risk. */
+  def inferRobust(df: DataFrame, cols: Seq[String], enumThreshold: Int = 16,
+      loQ: Double = 0.001, hiQ: Double = 0.999): Rule = {
+    val numCols = cols.filter(c => df.schema(c).dataType.isInstanceOf[NumericType])
+    val bounds = robustBounds(df, numCols, loQ, hiQ).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    def patch(r: Rule, c: String): Rule = r match {
+      case All(parts) => All(parts.map(p => patch(p, c)))
+      case Minimum(_, e) => Minimum(bounds(c)._1, e)
+      case Maximum(_, e) => Maximum(bounds(c)._2, e)
+      case other => other
+    }
+    infer(df, cols, enumThreshold) match {
+      case All(parts) => All(parts.map {
+        case Properties(props) => Properties(props.map { case (c, r) =>
+          c -> (if (bounds.contains(c)) patch(r, c) else r) })
+        case other => other
+      })
+      case other => other
+    }
+  }
+
   /** Build the pack from a collected profile. The collect touches one row
     * per COLUMN (never data rows) — the same driver-side footprint as
     * reading a schema. */

@@ -27,6 +27,30 @@ class PackInferenceSpec extends SparkSuite {
       .where(col("rule_id") === "enum").count() === docs.count())
   }
 
+  test("robust inference: one corrupted outlier cannot stretch the bounds; min/max would") {
+    // inject a single absurd row into a copy of the corpus
+    val corrupted = docs.unionByName(
+      docs.limit(1).withColumn("doc_id", lit(999999L))
+        .withColumn("n_chars", lit(1000000000L)))
+    val loose = PackInference.infer(corrupted, cols)
+    // at 501 rows p99.9 INTERPOLATES into the single outlier (R-7 index
+    // 499.5 of 500) — a small corpus needs a wider margin, so p1/p99 here
+    val tight = PackInference.inferRobust(corrupted, cols, loQ = 0.01, hiQ = 0.99)
+    // the min/max pack accepts a mid-range garbage value; the robust pack
+    // rejects it (its p99.9 sits inside the real data)
+    val midGarbage = docs.limit(1).withColumn("n_chars", lit(500000000L))
+    assert(Violations.validate(midGarbage, loose, Seq("doc_id")).count() === 0,
+      "min/max inference was stretched by the outlier, as expected")
+    assert(Violations.validate(midGarbage, tight, Seq("doc_id"))
+      .where(col("rule_id") === "maximum").count() === 1)
+    // and the robust pack still accepts ~all of the real corpus (roughly
+    // 2% per numeric column can fall outside the 1–99 percentile band)
+    val nOut = Violations.validate(docs, tight, Seq("doc_id"))
+      .where(col("rule_id").isin("minimum", "maximum"))
+      .select("doc_id").distinct().count()
+    assert(nOut <= math.ceil(docs.count() * 0.06).toLong, s"robust pack rejected $nOut rows")
+  }
+
   test("profile artifact: types from schema, requireds from nulls, enum gating by cardinality") {
     val rows = PackInference.inferredProfile(docs, cols, enumThreshold = 16)
       .orderBy("column").collect()
