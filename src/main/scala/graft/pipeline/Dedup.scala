@@ -567,23 +567,40 @@ object Dedup {
     * `(id, n_blocks, n_dup_blocks, dup_frac)` — docs with fewer than w
     * words emit nothing (no full block).
     *
-    * Scale: block construction is array-domain on the scan (no shuffle);
-    * the first-occurrence window shuffles `(id, block_idx, md5)` triples
-    * keyed by the block hash — uniform by construction — and the per-doc
-    * rollup is a partial-aggregated counter groupBy. No pairwise joins
-    * anywhere, so cost is linear in corpus blocks. */
+    * Scale — the key observation is that first-occurrence COUNTING needs
+    * neither a window nor a join keyed by the block hash. The block-hash
+    * occurrence distribution is exactly the boilerplate skew this operator
+    * targets ("all rights reserved…" can occur 10⁸–10⁹ times), so any plan
+    * that sorts or probe-shuffles occurrences per hash puts a corpus-wide
+    * hot block in ONE task. Instead:
+    *   1. winner per distinct hash: `groupBy(h).agg(min(struct(id,
+    *      block_idx)))` — PARTIAL aggregation, so a 10⁹-occurrence block
+    *      collapses to one row per map task before the shuffle;
+    *   2. non-dup count per doc: re-aggregate the winners table (one row
+    *      per DISTINCT block — skew is gone by construction) by winner id;
+    *   3. per-doc totals ride the scan (`size(blocks)` — no explode), and
+    *      `n_dup = n_blocks − n_keep` via one uniform doc-id join.
+    * No window, no hash-keyed join, both shuffles partial-aggregated. */
   def blockDedupStats(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 10): DataFrame = {
-    val blocks = df.select(col(idCol).as("id"),
-        posexplode(wordBlocks(col(textCol), w)).as(Seq("block_idx", "block")))
+      w: Int = 10): DataFrame =
+    blockStats(df.select(col(idCol).as("id"),
+      wordBlocks(col(textCol), w).as("__blocks")))
+
+  /** Shared two-phase first-occurrence stats over `(id, __blocks)`. */
+  private def blockStats(withBlocks: DataFrame): DataFrame = {
+    val blocks = withBlocks
+      .select(col("id"), posexplode(col("__blocks")).as(Seq("block_idx", "block")))
       .select(col("id"), col("block_idx"),
         TextAnalysis.fingerprint(col("block")).as("h"))
-    val firstWin = org.apache.spark.sql.expressions.Window
-      .partitionBy("h").orderBy("id", "block_idx")
-    blocks.withColumn("dup", row_number().over(firstWin) > 1)
-      .groupBy("id").agg(
-        count(lit(1)).as("n_blocks"),
-        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_blocks"))
+    val keeps = blocks
+      .groupBy("h").agg(min(struct(col("id"), col("block_idx"))).as("f"))
+      .groupBy(col("f.id").as("id")).agg(count(lit(1)).as("n_keep"))
+    val perDoc = withBlocks
+      .select(col("id"), size(col("__blocks")).cast("long").as("n_blocks"))
+      .where(col("n_blocks") > 0)
+    perDoc.join(keeps, Seq("id"), "left")
+      .select(col("id"), col("n_blocks"),
+        (col("n_blocks") - coalesce(col("n_keep"), lit(0L))).as("n_dup_blocks"))
       .withColumn("dup_frac",
         col("n_dup_blocks").cast("double") / col("n_blocks").cast("double"))
   }

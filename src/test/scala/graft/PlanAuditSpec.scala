@@ -185,6 +185,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("p22 block dedup plans no window and no block-hash join (boilerplate skew)") {
+    // block-hash occurrence counts are Zipf (a boilerplate block can occur
+    // 10^9 times); the plan must carry no Window (one-task sort of the hot
+    // hash) and no sort-merge join at all — the only join is doc-id-keyed
+    // between two partial-aggregated per-doc tables, and at sf-test size
+    // AQE turns that into a broadcast
+    val df = SparkEntry.queries("p22_block_dedup")(spark, dir)
+    df.collect()
+    val plan = planString(df).split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), "first-occurrence window is back")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("items bound guard is present in the token-audit validate plan") {
     // the round-4 2.2x lever: per-element Items(Minimum/Maximum) work must
     // hide behind the codegen'd array_min/array_max pre-check — a compiler

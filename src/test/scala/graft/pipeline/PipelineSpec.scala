@@ -91,6 +91,26 @@ class PipelineSpec extends SparkSuite {
     assert(blocks === Seq(("alpha " * 10).trim))
   }
 
+  test("block dedup: corpus-wide boilerplate block (in EVERY doc) — no window, skew-safe") {
+    // the adversarial case for the old row_number-over-Window plan: ONE
+    // block hash carries every document's occurrence; the two-phase min
+    // collapses it in partial aggregation instead of sorting it in one task
+    val boiler = "all rights reserved by the site owner please contact us"
+    val df = (0L until 200L).map(i => (i, s"$boiler unique$i " * 2 + boiler))
+      .toDF("doc_id", "text")
+    val out = Dedup.blockDedupStats(df, "doc_id", "text", w = 10)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Window"), "block dedup sorts hot-hash occurrences in a window")
+    val got = out.orderBy("id").as[(Long, Long, Long, Double)].collect().toSeq
+    // each doc: 3 full blocks — the shared boilerplate block plus 2 blocks
+    // made unique by the interleaved unique$i token. Doc 0 wins the
+    // boilerplate hash; every other doc's copy is the corpus-wide dup.
+    assert(got.size === 200)
+    assert(got.head === ((0L, 3L, 0L, 0.0)))
+    assert(got.tail.forall(r => r._2 === 3L && r._3 === 1L), "non-first docs dup exactly the boilerplate block")
+  }
+
   test("sequence packing: contiguous concat-and-cut layout, bucket-invariant, empty docs") {
     val df = Seq((0L, 100L), (1L, 924L), (2L, 0L), (3L, 2000L), (4L, 50L))
       .toDF("doc_id", "n_tok")
