@@ -2066,7 +2066,7 @@ object SparkEntry {
         s"""SELECT '$c', 'string', (count(*) - count($c))::BIGINT,
            | count(DISTINCT $c)::BIGINT, NULL::DOUBLE, NULL::DOUBLE,
            | CASE WHEN count(DISTINCT $c) <= 16
-           |   THEN array_to_string(list_sort(list(DISTINCT $c)), ',')
+           |   THEN to_json(list_sort(list(DISTINCT $c)))::VARCHAR
            |   ELSE NULL END FROM documents""".stripMargin
       Seq(num("doc_id", "integer"), str("lang"), str("source"),
         num("n_chars", "integer")).mkString("", "\nUNION ALL ", "\nORDER BY \"column\"")

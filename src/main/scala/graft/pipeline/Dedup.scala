@@ -643,18 +643,25 @@ object Dedup {
     * cleaning pipeline applies after grouping: the member with the highest
     * `scoreCol` wins, ties break to the smallest id (total order →
     * deterministic and engine-portable). One join + one partial-aggregated
-    * groupBy; the max rides a (score, −id) struct so no window over the
-    * full membership is needed. Output
+    * groupBy; the min rides a (−score, id) struct — score descending then
+    * id ascending — so no window over the full membership is needed, and
+    * the id is never negated (string and other non-numeric id types order
+    * natively; the old `−id` trick silently null-cast them). The score
+    * must be numeric (it is negated), checked up front. Output
     * `(component, keep_id, keep_score, group_size)`. */
   def groupRepresentatives(components: DataFrame, scored: DataFrame,
-      idCol: String, scoreCol: String): DataFrame =
+      idCol: String, scoreCol: String): DataFrame = {
+    require(scored.schema(scoreCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"scoreCol '$scoreCol' must be numeric, got ${scored.schema(scoreCol).dataType.sql}")
     components
       .join(scored.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
       .groupBy("component")
-      .agg(max(struct(col("__s").as("s"), (-col("id")).as("negid"))).as("m"),
+      .agg(min(struct((-col("__s")).as("negs"), col("id"))).as("m"),
         count(lit(1)).as("group_size"))
-      .select(col("component"), (-col("m.negid")).as("keep_id"),
-        col("m.s").as("keep_score"), col("group_size"))
+      .select(col("component"), col("m.id").as("keep_id"),
+        (-col("m.negs")).as("keep_score"), col("group_size"))
+  }
 
   /** Banding-capacity lint (the 32-bit-SimHash lesson generalized): with N
     * docs hashed into 2^bandBits buckets per band, expected occupancy is

@@ -50,12 +50,17 @@ object Packing {
     base.join(broadcast(prefixes), Seq("__bucket"))
       .withColumn("__cum_before",
         col("__boffset") + coalesce(sum(col("n_tok")).over(runWin), lit(0L)))
+      // `div` is exact 64-bit integral division (all operands non-negative
+      // here, so div == floor-div). floor(long/long) would divide as
+      // DOUBLE: beyond 2^53 cumulative tokens — real at 10¹²-doc scale —
+      // rounding near bin boundaries could disagree with the exact pmod
+      // offset and with the oracle's integer `//`
       .select(col("id"), col("n_tok"),
-        floor(col("__cum_before") / budget).cast("long").as("start_bin"),
+        expr(s"__cum_before div ${budget}L").as("start_bin"),
         pmod(col("__cum_before"), lit(budget)).as("bin_offset"),
         when(col("n_tok") === 0, lit(0L)).otherwise(
-          floor((col("__cum_before") + col("n_tok") - 1) / budget).cast("long")
-            - floor(col("__cum_before") / budget).cast("long") + 1L)
+          expr(s"(__cum_before + n_tok - 1) div ${budget}L")
+            - expr(s"__cum_before div ${budget}L") + 1L)
           .as("bins_spanned"))
   }
 

@@ -73,11 +73,14 @@ object Sampling {
     * the corpus' own group counts: one counter aggregation (collected —
     * one row per GROUP), then a pure hash-threshold projection. Groups
     * outside the counted set keep nothing (rate 0 — the budget was
-    * allocated over the observed groups). */
+    * allocated over the observed groups); a NULL group value is excluded
+    * from the allocation the same way (rate 0 — rows with no stratum are
+    * dropped, never NPE the driver-side sort). */
   def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
       alpha: Double, totalBudget: Long, seed: Int = 0): DataFrame = {
     val counts = df.groupBy(groupCol).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .collect().filterNot(_.isNullAt(0))
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
     val rates = temperatureRates(counts, alpha, totalBudget).toMap
     stratifiedSample(df, groupCol, idCol, rates, defaultRate = 0.0, seed)
   }

@@ -144,6 +144,19 @@ class PipelineSpec extends SparkSuite {
     val got = Dedup.groupRepresentatives(comps, scored, "doc_id", "q")
       .orderBy("component").as[(Long, Long, Double, Long)].collect().toSeq
     assert(got === Seq((1L, 2L, 0.9, 3L), (10L, 10L, 0.1, 2L)))
+    // string ids order natively (the old -id trick null-cast them); ties
+    // still break to the lexicographically smallest id
+    val sComps = Seq(("a", "a"), ("b", "a"), ("c", "a")).toDF("id", "component")
+    val sScored = Seq(("a", 0.3), ("b", 0.7), ("c", 0.7)).toDF("doc_id", "q")
+    val sGot = Dedup.groupRepresentatives(sComps, sScored, "doc_id", "q")
+      .as[(String, String, Double, Long)].head()
+    assert(sGot === (("a", "b", 0.7, 3L)))
+    // non-numeric score is rejected loudly, not null-cast
+    val badScore = Seq(("a", "hi")).toDF("doc_id", "q")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.groupRepresentatives(sComps, badScore, "doc_id", "q")
+    }
+    assert(e.getMessage.contains("must be numeric"))
   }
 
   test("domain filter: subdomains reduce to the registered domain, ports stripped, no-URL docs pass") {

@@ -59,12 +59,52 @@ class PackInferenceSpec extends SparkSuite {
     assert(byCol("lang").getString(1) === "string")
     // numeric bounds populated for numerics only
     assert(!byCol("n_chars").isNullAt(4) && byCol("lang").isNullAt(4))
-    // enum list is sorted and within the threshold
-    val langs = byCol("lang").getString(6).split(",").toSeq
+    // enum list is a JSON array, sorted, within the threshold
+    val langs = graft.core.JValue.parse(byCol("lang").getString(6)) match {
+      case graft.core.JArr(items) => items.map(_.asInstanceOf[graft.core.JStr].value)
+      case other => fail(s"enum_vals is not a JSON array: $other")
+    }
     assert(langs === langs.sorted && langs.size <= 16)
     // a high-cardinality column must NOT become an enum
     val wide = PackInference.inferredProfile(docs, Seq("lang"), enumThreshold = 1)
       .collect().head
     assert(wide.isNullAt(6))
+  }
+
+  test("enum values containing the old join delimiter survive inference intact") {
+    // regression (round-4 advice): comma-joined enum profiles split a
+    // value like "a,b" into bogus members, so the inferred pack rejected
+    // its own corpus — breaking the LAW on plausible data
+    val df = Seq((1L, "foo, inc."), (2L, "bar, llc"), (3L, "foo, inc."))
+      .toDF("id", "org")
+    val pack = PackInference.infer(df, Seq("id", "org"))
+    assert(Violations.validate(df, pack, Seq("id")).count() === 0)
+    // and the artifact renders them unambiguously as a JSON array
+    val vals = PackInference.inferredProfile(df, Seq("org")).collect().head.getString(6)
+    assert(vals === """["bar, llc","foo, inc."]""")
+  }
+
+  test("sketch mode: HLL-gated profile emits the same pack as the exact path on clean data") {
+    val exact = PackInference.infer(docs, cols)
+    val approx = PackInference.infer(docs, cols, sketch = true)
+    assert(approx === exact, "sketch inference changed the pack on a clean corpus")
+    // LAW holds in sketch mode too: enum gate is re-applied exactly in
+    // pass 2 and min/max stay exact counters
+    assert(Violations.validate(docs, approx, Seq("doc_id")).count() === 0)
+    // robust sketch bounds still reject mid-range garbage
+    val tight = PackInference.inferRobust(docs, cols, loQ = 0.01, hiQ = 0.99, sketch = true)
+    val midGarbage = docs.limit(1).withColumn("n_chars", lit(500000000L))
+    assert(Violations.validate(midGarbage, tight, Seq("doc_id"))
+      .where(col("rule_id") === "maximum").count() === 1)
+  }
+
+  test("high-cardinality string columns are never collected (pass-1 gate)") {
+    // `text` has ~one distinct value per row; the profile must produce a
+    // NULL enum without ever collecting the value set — asserted by the
+    // artifact shape plus the pass-2 candidate filter (no agg is planned
+    // when nothing qualifies, so this also runs in one pass)
+    val p = PackInference.inferredProfile(docs, Seq("text"), enumThreshold = 16)
+      .collect().head
+    assert(p.isNullAt(6) && p.getLong(3) > 16)
   }
 }
