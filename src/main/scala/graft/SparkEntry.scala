@@ -32,6 +32,26 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     round(sum(c.cast("decimal(20,4)")), scale).cast("double")
 
+  /** Pre-tokenized twin of the documents table — the north-rule input
+    * shape `(doc_id, tokens array<int>, n_tok, source)` — derived
+    * DETERMINISTICALLY from documents.text (md5-window token ids mod
+    * 50,000), so Spark and the DuckDB oracle materialize the identical
+    * token corpus; the token-domain dedup family (p29-p31) runs on it
+    * natively, no text reconstruction. */
+  private def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        transform(graft.pipeline.TextAnalysis.words(col("text")),
+          w => pmod(Dedup.md5Hash32(w, 0), lit(50000L)).cast("int")).as("tokens"),
+        col("source"))
+      .withColumn("n_tok", size(col("tokens")))
+
+  /** DuckDB twin of [[tokenizedDocs]] (CTE named `tokd`). */
+  private val tokenizedDocsCte: String =
+    """tokd AS (SELECT doc_id, list_transform(
+      |  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0),
+      |  w -> ((('0x' || substr(md5('0:' || w), 1, 8))::BIGINT % 50000))::INT) AS tokens,
+      |  source FROM documents)""".stripMargin
+
   // ---------------------------------------------------------------- rules
 
   /** Numeric/enum rule pack over lineitem — violation *counts* per rule
@@ -753,6 +773,35 @@ object SparkEntry {
         .orderBy("component")
     }),
 
+    "p29_token_minhash" -> ((s, dir) => {
+      // MinHash LSH candidates over the PRE-TOKENIZED corpus (array<int>
+      // tokens — the north-rule table's native shape): token-id shingles
+      // feed the same k-min/band machinery, no text reconstruction. True
+      // dups injected (token arrays copied at id+100000).
+      val toks = tokenizedDocs(s, dir).select("doc_id", "tokens")
+      val dup = toks.where(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+      Dedup.minhashCandidatePairsTokens(toks.unionByName(dup), "doc_id", "tokens",
+          shingleK = 3, numHashes = 16, bands = 8, family = Dedup.Md5Portable)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "p30_token_block_dedup" -> ((s, dir) =>
+      // corpus-wide block dedup in the token domain: 10-token blocks,
+      // first-occurrence-wins, same skew-immune two-phase plan as p22
+      Dedup.blockDedupStatsTokens(tokenizedDocs(s, dir), "doc_id", "tokens", w = 10)
+        .select(col("id").as("doc_id"), col("n_blocks"), col("n_dup_blocks"),
+          round(col("dup_frac"), 6).as("dup_frac6"))
+        .orderBy("doc_id")),
+
+    "p31_token_simhash" -> ((s, dir) =>
+      // 64-bit SimHash fingerprints with token ids as terms — the
+      // explode-agg corpus path over the pre-tokenized table
+      Dedup.simhashSignatures64Tokens(
+          tokenizedDocs(s, dir).where(col("doc_id") < 100), "doc_id", "tokens")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     "p27_domain_filter" -> ((s, _) => {
       import s.implicits._
       // C4-style URL/domain blocklist filtering on inline fixtures (the
@@ -1173,21 +1222,36 @@ object SparkEntry {
       else s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END"
     }.mkString(" + ")
 
-  private def minhashPairCtes: String = {
+  /** 3-shingle → 16-sig → 8-band → candidate CTEs, assuming a prior CTE
+    * `w(doc_id, ws)` (ws = the term list: words, or stringified token
+    * ids). */
+  private def minhashBandCtes: String = {
     val sig = (0 until 16).map(j =>
       s"list_min(list_transform(sh, s -> ('0x' || substr(md5('${j / 4}:' || s), ${1 + 8 * (j % 4)}, 8))::BIGINT)) AS sig_$j")
       .mkString(",\n ")
     val bandList = (0 until 8).map(b =>
       s"md5(sig_${2 * b}::VARCHAR || ',' || sig_${2 * b + 1}::VARCHAR)").mkString(", ")
-    s"""w AS (SELECT doc_id,
-       |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
-       |shl AS (SELECT doc_id, list_distinct(list_transform(
+    s"""shl AS (SELECT doc_id, list_distinct(list_transform(
        |  range(1, greatest(len(ws) - 2, 0) + 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh FROM w),
        |sigs AS (SELECT doc_id, $sig FROM shl),
        |bands AS (SELECT doc_id, unnest([$bandList]) AS bucket FROM sigs),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private def minhashPairCtes: String =
+    s"""w AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0) AS ws FROM documents),
+       |$minhashBandCtes""".stripMargin
+
+  /** Token-domain twin: same band machinery over stringified token ids of
+    * the derived pre-tokenized corpus, with dups injected at id+100000. */
+  private def tokenMinhashPairCtes: String =
+    s"""$tokenizedDocsCte,
+       |alltok AS (SELECT doc_id, tokens FROM tokd
+       |  UNION ALL SELECT doc_id + 100000, tokens FROM tokd WHERE doc_id < 100),
+       |w AS (SELECT doc_id, list_transform(tokens, t -> t::VARCHAR) AS ws FROM alltok),
+       |$minhashBandCtes""".stripMargin
 
   /** DuckDB regex note: RE2 syntax; '\\s' etc. are literal backslashes in
     * single-quoted SQL strings (DuckDB does not process escapes). */
@@ -1984,6 +2048,32 @@ object SparkEntry {
          |  count(*) OVER (PARTITION BY component) AS group_size FROM j)
          |SELECT component, doc_id AS keep_id, quality AS keep_score, group_size
          |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    "p29_token_minhash" ->
+      s"""WITH $tokenMinhashPairCtes
+         |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    "p30_token_block_dedup" ->
+      s"""WITH $tokenizedDocsCte,
+         |d AS (SELECT doc_id, list_transform(tokens, t -> t::VARCHAR) AS ws FROM tokd),
+         |b AS (SELECT doc_id, i AS bidx,
+         |  array_to_string(ws[i*10+1 : i*10+10], ' ') AS block
+         | FROM d CROSS JOIN unnest(range(0, len(ws) // 10)) t(i)),
+         |r AS (SELECT doc_id, bidx,
+         |  row_number() OVER (PARTITION BY md5(block) ORDER BY doc_id, bidx) AS rn FROM b)
+         |SELECT doc_id, count(*) AS n_blocks,
+         | sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_blocks,
+         | round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS dup_frac6
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p31_token_simhash" ->
+      s"""WITH $tokenizedDocsCte,
+         |w AS (SELECT doc_id, unnest(list_transform(tokens, t -> t::VARCHAR)) AS word
+         |      FROM tokd WHERE doc_id < 100),
+         |h AS (SELECT doc_id, ('0x' || substr(md5('0:' || word), 1, 8))::BIGINT AS hi,
+         |                     ('0x' || substr(md5('0:' || word), 9, 8))::BIGINT AS lo FROM w),
+         |v AS (SELECT doc_id, $simhash64Votes FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhash64Fp AS BIGINT) AS simhash FROM v ORDER BY doc_id""".stripMargin,
 
     "p27_domain_filter" ->
       """WITH docs(doc_id, text) AS (VALUES

@@ -50,14 +50,38 @@ object Dedup {
     * (measured 5× slower via `element_at(ws, …)` inside `transform`).
     * `zip_with` pads the shorter side with null and `concat(a, null)` is
     * null, so positions past len−k drop out in the filter. */
-  def shingleArray(text: Column, k: Int): Column = {
-    val ws = TextAnalysis.words(text)
+  def shingleArray(text: Column, k: Int): Column =
+    shingleArrayOf(TextAnalysis.words(text), k)
+
+  /** The shingle fold over an arbitrary string-array column (the step that
+    * was text-coupled in rounds 1-4): words from text, or stringified ids
+    * from a pre-tokenized `array<int>` corpus — the north-rule table's
+    * native domain. */
+  private def shingleArrayOf(ws: Column, k: Int): Column = {
     val joined = (1 until k).foldLeft(ws) { (acc, j) =>
       zip_with(acc, slice(ws, lit(j + 1), greatest(size(ws) - j, lit(0))),
         (a, b) => concat(a, lit(" "), b))
     }
     array_distinct(filter(joined, x => x.isNotNull))
   }
+
+  /** Token-id terms as strings — the `array<int>` twin of
+    * [[TextAnalysis.words]]. Cast, not format: "17" is the exact decimal
+    * rendering in both engines, so the md5-window hash family matches the
+    * DuckDB oracle on the same derivation. */
+  def tokenTerms(tokens: Column): Column = transform(tokens, t => t.cast("string"))
+
+  /** Distinct k-token shingles over a PRE-TOKENIZED corpus (`array<int>`
+    * tokens — the north-rule table's shape): a strict simplification of
+    * the text path (no regex split, no lower/trim), same downstream
+    * machinery. */
+  def tokenShingleArray(tokens: Column, k: Int): Column =
+    shingleArrayOf(tokenTerms(tokens), k)
+
+  /** `(id, shingle)` exploded over token-id shingles — the inverted-index
+    * input for the token-domain dedup family. */
+  def tokenShingles(df: DataFrame, idCol: String, tokensCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokenShingleArray(col(tokensCol), k)).as("shingle"))
 
   /** Shingles whose document frequency exceeds `maxDocFreq` — the
     * "boilerplate" set. Tiny in practice (a handful of headers/footers), so
@@ -155,8 +179,20 @@ object Dedup {
     * the shingle array per signature column after projection collapse —
     * measured 4-16× slower.) */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int, numHashes: Int, family: HashFamily = Md5Portable): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleK)
+      shingleK: Int, numHashes: Int, family: HashFamily = Md5Portable): DataFrame =
+    minhashFromShingles(shingles(df, idCol, textCol, shingleK), numHashes, family)
+
+  /** [[minhashSignatures]] over a pre-tokenized `array<int>` corpus —
+    * identical signature math over token-id shingles. */
+  def minhashSignaturesTokens(df: DataFrame, idCol: String, tokensCol: String,
+      shingleK: Int, numHashes: Int, family: HashFamily = Md5Portable): DataFrame =
+    minhashFromShingles(tokenShingles(df, idCol, tokensCol, shingleK), numHashes, family)
+
+  /** Shared k-min signature aggregation over an exploded `(id, shingle)`
+    * frame: one hash per (doc, shingle, seed), k mins ride ONE partial
+    * aggregation. */
+  private def minhashFromShingles(sh: DataFrame, numHashes: Int,
+      family: HashFamily): DataFrame = {
     val hashed = sh.select(col("id") +:
       (0 until numHashes).map(j => seededHash(col("shingle"), j, family).as(s"h_$j")): _*)
     hashed.groupBy("id")
@@ -193,15 +229,30 @@ object Dedup {
     * distinct `(id_a, id_b)` with id_a < id_b. */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      family: HashFamily = XxFast, expectedDocs: Option[Long] = None): DataFrame = {
+      family: HashFamily = XxFast, expectedDocs: Option[Long] = None): DataFrame =
+    candidatePairsFromSignatures(
+      minhashSignatures(df, idCol, textCol, shingleK, numHashes, family),
+      numHashes, bands, expectedDocs)
+
+  /** [[minhashCandidatePairs]] over a pre-tokenized `array<int>` corpus. */
+  def minhashCandidatePairsTokens(df: DataFrame, idCol: String, tokensCol: String,
+      shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      family: HashFamily = XxFast, expectedDocs: Option[Long] = None): DataFrame =
+    candidatePairsFromSignatures(
+      minhashSignaturesTokens(df, idCol, tokensCol, shingleK, numHashes, family),
+      numHashes, bands, expectedDocs)
+
+  /** Shared LSH band-bucket self-join over a `(id, sig_0..sig_{k-1})`
+    * signature frame — only colliding buckets meet. */
+  private def candidatePairsFromSignatures(sigs: DataFrame, numHashes: Int,
+      bands: Int, expectedDocs: Option[Long]): DataFrame = {
     // effective bucket space per band = the signature-slice space,
     // 2^(32·rowsPerBand) for 32-bit hashes (the md5 of the slice does not
     // shrink it below 63 usable bits)
     expectedDocs.foreach(n =>
       lintBanding(n, bandBits = math.min(63, 32 * (numHashes / bands)), bands = bands)
         .foreach(warn))
-    val signed = minhashSignatures(df, idCol, textCol, shingleK, numHashes, family)
-      .select(col("id") +: bandKeys(numHashes, bands): _*)
+    val signed = sigs.select(col("id") +: bandKeys(numHashes, bands): _*)
     val stacked = signed.select(col("id"),
       explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("bucket"))
     stacked.as("a").join(stacked.as("b"), Seq("bucket"))
@@ -465,10 +516,20 @@ object Dedup {
     * XxFast), 64 conditional sums ride one partial aggregation, and the
     * fingerprint assembles bitwise (no overflow path). */
   def simhashSignatures64(df: DataFrame, idCol: String, textCol: String,
-      family: HashFamily = Md5Portable): DataFrame = {
-    val h = df.select(col(idCol).as("id"),
-        explode(TextAnalysis.words(col(textCol))).as("word"))
-      .select(col("id"), seededHash64(col("word"), family).as("hv"))
+      family: HashFamily = Md5Portable): DataFrame =
+    simhash64FromTerms(df.select(col(idCol).as("id"),
+      explode(TextAnalysis.words(col(textCol))).as("word")), family)
+
+  /** [[simhashSignatures64]] over a pre-tokenized `array<int>` corpus:
+    * each token id is one SimHash term (its decimal string feeds the same
+    * portable hash family). */
+  def simhashSignatures64Tokens(df: DataFrame, idCol: String, tokensCol: String,
+      family: HashFamily = Md5Portable): DataFrame =
+    simhash64FromTerms(df.select(col(idCol).as("id"),
+      explode(tokenTerms(col(tokensCol))).as("word")), family)
+
+  private def simhash64FromTerms(h0: DataFrame, family: HashFamily): DataFrame = {
+    val h = h0.select(col("id"), seededHash64(col("word"), family).as("hv"))
     val votes = (0 until 64).map(b =>
       sum(when(shiftright(col("hv"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v_$b"))
     h.groupBy("id").agg(votes.head, votes.tail: _*)
@@ -585,6 +646,25 @@ object Dedup {
       w: Int = 10): DataFrame =
     blockStats(df.select(col(idCol).as("id"),
       wordBlocks(col(textCol), w).as("__blocks")))
+
+  /** Non-overlapping w-token blocks of a pre-tokenized document (FULL
+    * blocks only), each rendered as the space-joined decimal ids — same
+    * hash domain as [[wordBlocks]], no regex split. */
+  def tokenBlocks(tokens: Column, w: Int): Column = {
+    val ws = tokenTerms(tokens)
+    val joined = (1 until w).foldLeft(ws) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(j + 1), greatest(size(ws) - j, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(joined, (x, i) => x.isNotNull && pmod(i, lit(w)) === 0)
+  }
+
+  /** [[blockDedupStats]] over a pre-tokenized `array<int>` corpus — the
+    * north-rule table's native block dedup (no text reconstruction). */
+  def blockDedupStatsTokens(df: DataFrame, idCol: String, tokensCol: String,
+      w: Int = 10): DataFrame =
+    blockStats(df.select(col(idCol).as("id"),
+      tokenBlocks(col(tokensCol), w).as("__blocks")))
 
   /** Shared two-phase first-occurrence stats over `(id, __blocks)`. */
   private def blockStats(withBlocks: DataFrame): DataFrame = {

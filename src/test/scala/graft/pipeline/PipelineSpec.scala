@@ -91,6 +91,33 @@ class PipelineSpec extends SparkSuite {
     assert(blocks === Seq(("alpha " * 10).trim))
   }
 
+  test("token-domain dedup family agrees exactly with the text family on the same terms") {
+    // LAW: tokens rendered as decimal strings and space-joined into text
+    // must produce bit-identical shingles, minhash signatures, simhash
+    // fingerprints, and block stats through BOTH families — the token path
+    // is a strict simplification (no regex split), never a reimplementation
+    val rng = new scala.util.Random(7)
+    val rows = (0L until 60L).map { i =>
+      val base = Vector.fill(25 + rng.nextInt(20))(rng.nextInt(500))
+      val toks = if (i % 3 == 0) Vector.fill(30)(rng.nextInt(8)) else base // force some near-dups
+      (i, toks)
+    }
+    val tokDf = rows.toDF("doc_id", "tokens")
+    val txtDf = rows.map { case (i, ts) => (i, ts.mkString(" ")) }.toDF("doc_id", "text")
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col): _*).collect().toSeq
+    assert(sortedRows(Dedup.minhashSignaturesTokens(tokDf, "doc_id", "tokens", 3, 8)) ===
+      sortedRows(Dedup.minhashSignatures(txtDf, "doc_id", "text", 3, 8)))
+    assert(sortedRows(Dedup.minhashCandidatePairsTokens(tokDf, "doc_id", "tokens",
+        shingleK = 3, numHashes = 16, bands = 8, family = Dedup.Md5Portable)) ===
+      sortedRows(Dedup.minhashCandidatePairs(txtDf, "doc_id", "text",
+        shingleK = 3, numHashes = 16, bands = 8, family = Dedup.Md5Portable)))
+    assert(sortedRows(Dedup.simhashSignatures64Tokens(tokDf, "doc_id", "tokens")) ===
+      sortedRows(Dedup.simhashSignatures64(txtDf, "doc_id", "text")))
+    assert(sortedRows(Dedup.blockDedupStatsTokens(tokDf, "doc_id", "tokens", w = 5)) ===
+      sortedRows(Dedup.blockDedupStats(txtDf, "doc_id", "text", w = 5)))
+  }
+
   test("block dedup: corpus-wide boilerplate block (in EVERY doc) — no window, skew-safe") {
     // the adversarial case for the old row_number-over-Window plan: ONE
     // block hash carries every document's occurrence; the two-phase min
