@@ -773,6 +773,23 @@ object SparkEntry {
         .orderBy("component")
     }),
 
+    "p32_vocab_packing" -> ((s, dir) => {
+      // END-TO-END pretraining layout: corpus vocab (p21's build) →
+      // token-id sequences (p21's apply, OOV=-1) → concat-and-cut packing
+      // (p23's distributed prefix sum) — composed in ONE query so the
+      // stage JOINS are oracle-pinned (an off-by-one between n_tok and the
+      // packed layout cannot hide); checksum pins each doc's exact id
+      // sequence through the chain
+      val docs = t(s, dir, "documents")
+      val vocab = Vocab.buildVocabulary(docs, "text", topN = 200)
+      val ids = Vocab.applyVocabulary(docs, "doc_id", "text", vocab, oovId = Some(-1L))
+      Packing.packSequences(ids, "id", "n_tok", budget = 1024L)
+        .join(ids.select(col("id"), Vocab.idChecksum(col("token_ids")).as("checksum")), "id")
+        .select(col("id").as("doc_id"), col("n_tok"), col("start_bin"),
+          col("bin_offset"), col("bins_spanned"), col("checksum"))
+        .orderBy("doc_id")
+    }),
+
     "p29_token_minhash" -> ((s, dir) => {
       // MinHash LSH candidates over the PRE-TOKENIZED corpus (array<int>
       // tokens — the north-rule table's native shape): token-id shingles
@@ -2052,6 +2069,33 @@ object SparkEntry {
     "p29_token_minhash" ->
       s"""WITH $tokenMinhashPairCtes
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    "p32_vocab_packing" ->
+      // p21's vocab/apply CTEs feeding p23's global prefix-sum window —
+      // the composed twin of the two gated stages
+      """WITH d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  x -> len(x) > 0) AS ws FROM documents),
+        |vc AS (SELECT token, count(*) AS n
+        |       FROM (SELECT unnest(ws) AS token FROM d) GROUP BY token
+        |       ORDER BY n DESC, token LIMIT 200),
+        |vocab AS (SELECT token, (row_number() OVER (ORDER BY n DESC, token) - 1) AS tid FROM vc),
+        |tok AS (SELECT doc_id, unnest(ws) AS token,
+        |        unnest(range(1, len(ws) + 1)) AS pos FROM d),
+        |m AS (SELECT t.doc_id, t.pos, coalesce(v.tid, -1) AS tid
+        |      FROM tok t LEFT JOIN vocab v USING (token)),
+        |agg AS (SELECT doc_id, count(*) AS n_tok, sum(pos * tid) AS checksum FROM m GROUP BY doc_id),
+        |seqs AS (SELECT d.doc_id, coalesce(n_tok, 0)::BIGINT AS n_tok,
+        |         coalesce(checksum, 0)::BIGINT AS checksum
+        |         FROM d LEFT JOIN agg USING (doc_id)),
+        |c AS (SELECT doc_id, n_tok, checksum,
+        |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM seqs)
+        |SELECT doc_id, n_tok, (cb // 1024)::BIGINT AS start_bin,
+        | (cb % 1024)::BIGINT AS bin_offset,
+        | (CASE WHEN n_tok = 0 THEN 0
+        |  ELSE (cb + n_tok - 1) // 1024 - cb // 1024 + 1 END)::BIGINT AS bins_spanned,
+        | checksum
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "p30_token_block_dedup" ->
       s"""WITH $tokenizedDocsCte,
