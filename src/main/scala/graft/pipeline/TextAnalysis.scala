@@ -257,10 +257,16 @@ object TextAnalysis {
     * bigram-FIRST position (self-consistent, no doc-final off-by-one);
     * V = distinct words in the corpus.
     *
-    * Scale: two partial-aggregated counts (bigram, first-word), two
-    * key-shuffled joins of the doc-bigram stream against them (uniform
-    * keys), one broadcast scalar for V, one per-doc counter rollup —
-    * linear, no pairwise anything. Docs with < 2 words emit nothing.
+    * Scale: two partial-aggregated counts (bigram, first-word), then the
+    * doc-bigram stream joins them — and the KEYS ARE ZIPF, not uniform:
+    * "the" is ~5% of English first-word positions and "of the" tops the
+    * bigram table. The first-word table is vocab-sized (≤ distinct
+    * words), so it BROADCASTS — the heaviest skew key never shuffles at
+    * all. The bigram join's probe side stays shuffle-keyed (the bigram
+    * table can exceed broadcast size at corpus scale) with AQE's
+    * OptimizeSkewedJoin splitting its hot partitions; V is one broadcast
+    * scalar; per-doc rollup is a counter groupBy. Linear, no pairwise
+    * anything. Docs with < 2 words emit nothing.
     * Output `(id, n_bigrams, nll6)` (mean nll rounded to 6 — float
     * summation order is engine-dependent beyond that). */
   def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -270,7 +276,7 @@ object TextAnalysis {
     val uc = docBi.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = df.select(explode(words(col(textCol))).as("w"))
       .agg(count_distinct(col("w")).as("V"))
-    docBi.join(bc, "bi").join(uc, "w1").crossJoin(broadcast(v))
+    docBi.join(bc, "bi").join(broadcast(uc), "w1").crossJoin(broadcast(v))
       .withColumn("nll", -log(2.0,
         (col("c12") + 1).cast("double") / (col("c1") + col("V")).cast("double")))
       .groupBy("id").agg(count(lit(1)).as("n_bigrams"),

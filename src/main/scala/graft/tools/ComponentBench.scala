@@ -52,6 +52,8 @@ object ComponentBench {
         family = Dedup.Md5Portable).count())
       time("simhash_pairs_xx")(Dedup.simhashNearDupPairs(docs, "doc_id", "text",
         family = Dedup.XxFast).count())
+      time("bigram_nll")(graft.pipeline.TextAnalysis.bigramNll(
+        docs, "doc_id", "text").count())
     }
 
     // SQ8 bandwidth probe: the ANN shortlist pass over the 1-byte-per-dim

@@ -198,6 +198,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("p24 bigram-nll joins the vocab-sized first-word counts by BROADCAST") {
+    // the w1 key is Zipf ("the" is ~5% of English first-word positions):
+    // a sort-merge there shuffles the whole doc-bigram stream on a skewed
+    // key; uc is vocab-sized and must broadcast, removing the hot key from
+    // the exchange entirely. The bigram-count join may stay shuffle-keyed
+    // (AQE skew-split is the guard at scale).
+    val plan = planString(SparkEntry.queries("p24_bigram_nll")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), "no broadcast join in the bigram plan")
+    assert(!plan.contains("SortMergeJoin [w1"), "first-word join lost its broadcast")
+  }
+
   test("items bound guard is present in the token-audit validate plan") {
     // the round-4 2.2x lever: per-element Items(Minimum/Maximum) work must
     // hide behind the codegen'd array_min/array_max pre-check — a compiler
