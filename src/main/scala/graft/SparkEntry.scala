@@ -567,6 +567,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "m04_audio_meta" -> ((s, _) => {
+      import s.implicits._
+      // REAL audio codec leg (the m03 move applied to the audio stub):
+      // deterministic 16-bit PCM WAVs are ENCODED with javax.sound.sampled
+      // and the header metadata must come back through the same parser —
+      // the oracle pins the generated rate/channels/frames, so a stub or
+      // byte-sniffer cannot pass. One corrupt payload pins the explicit
+      // (-1,-1,-1) failure marker.
+      val rates = Array(8000, 11025, 16000, 22050, 44100)
+      val rows = (0L until 50L).map { i =>
+        val sr = rates((i % 5).toInt)
+        val ch = 1 + (i % 2).toInt
+        val nf = 100 + (i * 13 % 400).toInt
+        Multimodal.MediaRow(i, Multimodal.syntheticWav(sr, ch, nf, seed = i), "audio/wav")
+      } :+ Multimodal.MediaRow(999L, Array[Byte](9, 9, 9, 9), "audio/wav")
+      Multimodal.extractAudioMeta(s.createDataset(rows)).toDF()
+        .select(col("doc_id"), col("mime"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("channels").cast("long").as("channels"), col("n_frames"))
+        .orderBy("doc_id")
+    }),
+
     "st03_stream_verdicts" -> ((s, dir) => {
       // ACTUAL streaming execution in the oracle gate: the events parquet is
       // replayed as a file-source stream (Trigger.AvailableNow, memory
@@ -1810,6 +1832,15 @@ object SparkEntry {
         | (16 + (i * 7) % 13)::BIGINT AS height
         |FROM range(64) t(i)
         |UNION ALL SELECT 999, 'image/png', -1, -1
+        |ORDER BY doc_id""".stripMargin,
+
+    "m04_audio_meta" ->
+      """SELECT i AS doc_id, 'audio/wav' AS mime,
+        | ([8000, 11025, 16000, 22050, 44100][(i % 5) + 1])::BIGINT AS sample_rate,
+        | (1 + i % 2)::BIGINT AS channels,
+        | (100 + (i * 13) % 400)::BIGINT AS n_frames
+        |FROM range(50) t(i)
+        |UNION ALL SELECT 999, 'audio/wav', -1, -1, -1
         |ORDER BY doc_id""".stripMargin,
 
     "st03_stream_verdicts" ->

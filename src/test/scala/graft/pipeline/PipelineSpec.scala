@@ -693,6 +693,21 @@ class PipelineSpec extends SparkSuite {
     assert(got(3) === Multimodal.decodeStub(rows(3)))
   }
 
+  test("audio metadata decode is REAL: WAV round-trip through javax.sound.sampled") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticWav(16000, 1, 320, 3L), "audio/wav"),
+      Multimodal.MediaRow(2L, Multimodal.syntheticWav(44100, 2, 555, 5L), "audio/wav"),
+      Multimodal.MediaRow(3L, Array[Byte](9, 9, 9), "audio/wav"))
+    val got = Multimodal.extractAudioMeta(spark.createDataset(rows)).collect().sortBy(_.doc_id)
+    // header values come from parsing the actual encoded bytes
+    assert(got(0).sample_rate === 16000 && got(0).channels === 1 && got(0).n_frames === 320L)
+    assert(got(1).sample_rate === 44100 && got(1).channels === 2 && got(1).n_frames === 555L)
+    // n_bytes covers the full container (header + data), not just frames
+    assert(got(1).n_bytes > 555 * 2 * 2)
+    // unparseable audio bytes → explicit failure marker, never fake numbers
+    assert(got(2).sample_rate === -1 && got(2).channels === -1 && got(2).n_frames === -1L)
+  }
+
   test("multimodal: frame sampling keeps every stride-th frame") {
     import spark.implicits._
     val media = Multimodal.fromText(docs.limit(5), "doc_id", "text")
