@@ -15,7 +15,9 @@ import graft.functions.HistogramSketch
   *  - `histogram_sketch(col, lo, hi, bins)` — the one-pass mergeable
   *    histogram TypedImperativeAggregate behind the drift rules;
   *  - `graft_dot(a, b)` — the codegen'd array dot product behind the ANN
-  *    similarity paths.
+  *    similarity paths;
+  *  - `topk_sketch(key, payload, k)` — the K-bounded deterministic
+  *    top-K aggregate behind violation-sample caps.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -23,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("histogram_sketch"),
       new ExpressionInfo(classOf[HistogramSketch].getName, "histogram_sketch"),
       (exprs: Seq[Expression]) => HistogramSketch.fromExpressions(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("topk_sketch"),
+      new ExpressionInfo(classOf[graft.functions.TopKSketch].getName, "topk_sketch"),
+      (exprs: Seq[Expression]) => graft.functions.TopKSketch.fromExpressions(exprs)))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),

@@ -202,6 +202,20 @@ object SparkEntry {
       Uniqueness.duplicateKeysHashed(t(s, dir, "lineitem"), Seq("l_orderkey"))
         .orderBy("l_orderkey")),
 
+    "v34_violation_samples" -> ((s, dir) =>
+      // bounded violation sink: exact per-rule counts + deterministic
+      // hash-ordered ≤5 exemplar ids via the K-bounded TopKSketch
+      // aggregate (no window, no per-rule sort — the shuffle carries at
+      // most K rows per rule per map task); keyed on observed (not the
+      // engine-rendered message) so the oracle replays the identical hash
+      Violations.sampleViolations(
+          Violations.validate(t(s, dir, "orders"), ordersPack, Seq("o_orderkey")),
+          Seq("o_orderkey"), perRuleK = 5,
+          keyCols = Seq("path", "rule_id", "observed"))
+        .select(col("path"), col("rule_id"), col("n_violations"),
+          array_join(col("sample_ids"), ",").as("sample_ids"))
+        .orderBy("path", "rule_id")),
+
     "v04_referential_missing" -> ((s, dir) => {
       val dim = t(s, dir, "customer").where(col("c_custkey") < 100)
       Referential.violations(t(s, dir, "events"), "user_id", dim, "c_custkey")
@@ -1382,6 +1396,23 @@ object SparkEntry {
     "v03_unique_dup_keys" ->
       """SELECT l_orderkey, count(*) AS n_rows FROM lineitem
         |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+
+    "v34_violation_samples" ->
+      // v02's violation rows → the same portable md5-window rank hash →
+      // K smallest payloads per rule via an ordered list aggregate
+      """WITH v AS (
+        | SELECT o_orderkey, '/o_orderstatus' AS path, 'enum' AS rule_id, o_orderstatus AS observed
+        |  FROM orders WHERE o_orderstatus NOT IN ('O','F')
+        | UNION ALL
+        | SELECT o_orderkey, '/o_orderpriority', 'pattern', o_orderpriority
+        |  FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        |),
+        |h AS (SELECT path, rule_id,
+        |  ('0x' || substr(md5('0:' || concat_ws('|', o_orderkey::VARCHAR, path, rule_id, observed)), 1, 8))::BIGINT AS hk,
+        |  o_orderkey::VARCHAR AS payload FROM v)
+        |SELECT path, rule_id, count(*) AS n_violations,
+        | array_to_string((list(payload ORDER BY hk, payload))[1:5], ',') AS sample_ids
+        |FROM h GROUP BY path, rule_id ORDER BY path, rule_id""".stripMargin,
 
     "v04_referential_missing" ->
       """SELECT DISTINCT user_id FROM events

@@ -102,4 +102,39 @@ object Violations {
     * oracle-checked queries (exactly expressible as SQL `sum(case …)`). */
   def ruleCounts(violations: DataFrame): DataFrame =
     violations.groupBy("path", "rule_id").agg(count(lit(1)).as("n_violations"))
+
+  /** Bounded violation sink (SURVEY §2.8 `limit`, reference
+    * Schema.pm:149-157 keeps a bounded error list per document — this is
+    * the corpus-scale analog per RULE): exact `n_violations` counts plus a
+    * deterministic ≤ `perRuleK` exemplar sample per `(path, rule_id)`. At
+    * 10¹² rows a broadly-failing rule emits ~10¹² violation rows; a sink
+    * that materializes them all (or sorts them per rule in a window) is
+    * unusable, while counts-plus-capped-exemplars is what an operator
+    * actually triages with.
+    *
+    * Sampling is content-hash ordered: each violation's rank is the
+    * portable md5-window hash of its identity (ids + path + rule + message
+    * — the same `'0:'||s` family the dedup oracles replay in DuckDB), and
+    * the K smallest win. A pure function of the data — stable across
+    * partitioning, engines, and reruns — and UNIFORM-ish over violations,
+    * so the exemplars are a spread sample rather than "first K of one
+    * partition". Executed by [[graft.functions.TopKSketch]]: K-bounded
+    * heaps merged associatively under partial aggregation — the shuffle
+    * carries O(map-tasks · K) rows per rule, never the violation stream,
+    * and NO per-rule sort exists anywhere in the plan. */
+  def sampleViolations(violations: DataFrame, idCols: Seq[String],
+      perRuleK: Int,
+      keyCols: Seq[String] = Seq("path", "rule_id", "message")): DataFrame = {
+    graft.functions.TopKSketch.register(violations.sparkSession)
+    val keyStr = concat_ws("|",
+      (idCols ++ keyCols).map(c => col(c).cast("string")): _*)
+    // portable 32-bit md5-window hash ('0x'||substr(md5('0:'||s),1,8) in
+    // DuckDB) — same family as the dedup oracles
+    val key = conv(substring(md5(concat(lit("0:"), keyStr).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val payload = concat_ws("|", idCols.map(c => col(c).cast("string")): _*)
+    violations.groupBy("path", "rule_id").agg(
+      count(lit(1)).as("n_violations"),
+      graft.functions.TopKSketch.topkSketch(key, payload, perRuleK).as("sample_ids"))
+  }
 }
