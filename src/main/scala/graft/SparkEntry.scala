@@ -839,6 +839,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    "p33_token_jaccard" -> ((s, dir) =>
+      // n-gram Jaccard in the token domain (df cap exercised, same shape
+      // as p06): the inverted-index/cap machinery shared with the text
+      // family, terms = token-id shingles
+      Dedup.jaccardPairsTokens(tokenizedDocs(s, dir), "doc_id", "tokens", k = 3,
+          minJaccard = 0.3, maxDocFreq = 50)
+        .orderBy("id_a", "id_b")),
+
     "p30_token_block_dedup" -> ((s, dir) =>
       // corpus-wide block dedup in the token domain: 10-token blocks,
       // first-occurrence-wins, same skew-immune two-phase plan as p22
@@ -2158,6 +2166,22 @@ object SparkEntry {
         |  ELSE (cb + n_tok - 1) // 1024 - cb // 1024 + 1 END)::BIGINT AS bins_spanned,
         | checksum
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "p33_token_jaccard" ->
+      s"""WITH $tokenizedDocsCte,
+         |w AS (SELECT doc_id, list_transform(tokens, t -> t::VARCHAR) AS ws FROM tokd),
+         |sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |  range(1, greatest(len(ws) - 2, 0) + 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s FROM w),
+         |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50),
+         |sh AS (SELECT doc_id, s FROM sh0 WHERE s IN (SELECT s FROM keep)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |cm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+         |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_common, x.n AS n_a, y.n AS n_b,
+         | CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+         |FROM cm JOIN sz x ON cm.id_a = x.doc_id JOIN sz y ON cm.id_b = y.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(x.n + y.n - n_common AS DOUBLE) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "p30_token_block_dedup" ->
       s"""WITH $tokenizedDocsCte,

@@ -33,7 +33,17 @@ object Dedup {
 
   /** Exact-duplicate groups by content hash: `(fingerprint, n, min_id)`. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    exactDupGroupsBy(df, idCol, TextAnalysis.fingerprint(col(textCol)))
+
+  /** [[exactDupGroups]] over a pre-tokenized `array<int>` corpus: the
+    * fingerprint hashes the space-joined decimal ids (same hash domain as
+    * the text family, oracle-portable). */
+  def exactDupGroupsTokens(df: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    exactDupGroupsBy(df, idCol,
+      TextAnalysis.fingerprint(array_join(tokenTerms(col(tokensCol)), " ")))
+
+  private def exactDupGroupsBy(df: DataFrame, idCol: String, fp: Column): DataFrame =
+    df.groupBy(fp.as("fp"))
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
       .where(col("n") > 1)
 
@@ -105,7 +115,17 @@ object Dedup {
     * the dropped set is tiny and rides a broadcast anti-join. Default = no
     * cap (exact textbook Jaccard). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
-      minJaccard: Double, maxDocFreq: Int = Int.MaxValue): DataFrame = {
+      minJaccard: Double, maxDocFreq: Int = Int.MaxValue): DataFrame =
+    jaccardFromShingles(df, idCol, shingleArray(col(textCol), k), minJaccard, maxDocFreq)
+
+  /** [[jaccardPairs]] over a pre-tokenized `array<int>` corpus — identical
+    * inverted-index/df-cap machinery over token-id shingles. */
+  def jaccardPairsTokens(df: DataFrame, idCol: String, tokensCol: String, k: Int,
+      minJaccard: Double, maxDocFreq: Int = Int.MaxValue): DataFrame =
+    jaccardFromShingles(df, idCol, tokenShingleArray(col(tokensCol), k), minJaccard, maxDocFreq)
+
+  private def jaccardFromShingles(df: DataFrame, idCol: String, shArr: Column,
+      minJaccard: Double, maxDocFreq: Int): DataFrame = {
     def finish(withSizes: DataFrame): DataFrame = withSizes
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")).cast("double"))
@@ -117,7 +137,7 @@ object Dedup {
       // and the jaccard denominator come out of ONE inverted-index join +
       // ONE aggregation — no cache, no size-lookup joins (scale: the only
       // shuffle partitions by shingle, then by pair)
-      val sh = df.select(col(idCol).as("id"), shingleArray(col(textCol), k).as("sh"))
+      val sh = df.select(col(idCol).as("id"), shArr.as("sh"))
         .select(col("id"), size(col("sh")).cast("long").as("n"), explode(col("sh")).as("shingle"))
       finish(sh.as("a").join(sh.as("b"), Seq("shingle"))
         .where(col("a.id") < col("b.id"))
@@ -131,7 +151,8 @@ object Dedup {
       // re-tokenizes — the whole corpus; the explode is the expensive
       // part at scale, and exchange reuse cannot dedup it because the
       // anti-join's stream side has no exchange.)
-      val ex = shingles(df, idCol, textCol, k).localCheckpoint()
+      val ex = df.select(col(idCol).as("id"), explode(shArr).as("shingle"))
+        .localCheckpoint()
       val freq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
         .where(col("df") > maxDocFreq).select("shingle")
       val kept = ex.join(broadcast(freq), Seq("shingle"), "left_anti")
@@ -269,9 +290,22 @@ object Dedup {
     * bench sets are small, so posting products stay tiny. Output
     * `(train_id, bench_id, n_common)`. */
   def contaminationPairs(train: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, k: Int, minCommon: Long): DataFrame = {
-    val st = shingles(train, idCol, textCol, k).withColumnRenamed("id", "train_id")
-    val sb = shingles(bench, idCol, textCol, k).withColumnRenamed("id", "bench_id")
+      textCol: String, k: Int, minCommon: Long): DataFrame =
+    contaminationFromShingles(
+      shingles(train, idCol, textCol, k), shingles(bench, idCol, textCol, k), minCommon)
+
+  /** [[contaminationPairs]] over pre-tokenized `array<int>` corpora (e.g.
+    * a tokenized training set vs tokenized benchmarks). */
+  def contaminationPairsTokens(train: DataFrame, bench: DataFrame, idCol: String,
+      tokensCol: String, k: Int, minCommon: Long): DataFrame =
+    contaminationFromShingles(
+      tokenShingles(train, idCol, tokensCol, k),
+      tokenShingles(bench, idCol, tokensCol, k), minCommon)
+
+  private def contaminationFromShingles(st0: DataFrame, sb0: DataFrame,
+      minCommon: Long): DataFrame = {
+    val st = st0.withColumnRenamed("id", "train_id")
+    val sb = sb0.withColumnRenamed("id", "bench_id")
     st.join(sb, Seq("shingle"))
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("n_common"))

@@ -116,6 +116,16 @@ class PipelineSpec extends SparkSuite {
       sortedRows(Dedup.simhashSignatures64(txtDf, "doc_id", "text")))
     assert(sortedRows(Dedup.blockDedupStatsTokens(tokDf, "doc_id", "tokens", w = 5)) ===
       sortedRows(Dedup.blockDedupStats(txtDf, "doc_id", "text", w = 5)))
+    assert(sortedRows(Dedup.jaccardPairsTokens(tokDf, "doc_id", "tokens", 3, 0.2)) ===
+      sortedRows(Dedup.jaccardPairs(txtDf, "doc_id", "text", 3, 0.2)))
+    assert(sortedRows(Dedup.jaccardPairsTokens(tokDf, "doc_id", "tokens", 3, 0.2, maxDocFreq = 10)) ===
+      sortedRows(Dedup.jaccardPairs(txtDf, "doc_id", "text", 3, 0.2, maxDocFreq = 10)))
+    assert(sortedRows(Dedup.exactDupGroupsTokens(
+        tokDf.unionByName(tokDf.withColumn("doc_id", col("doc_id") + 100)), "doc_id", "tokens")) ===
+      sortedRows(Dedup.exactDupGroups(
+        txtDf.unionByName(txtDf.withColumn("doc_id", col("doc_id") + 100)), "doc_id", "text")))
+    assert(sortedRows(Dedup.contaminationPairsTokens(tokDf, tokDf.limit(10), "doc_id", "tokens", 3, 2L)) ===
+      sortedRows(Dedup.contaminationPairs(txtDf, txtDf.limit(10), "doc_id", "text", 3, 2L)))
   }
 
   test("block dedup: corpus-wide boilerplate block (in EVERY doc) — no window, skew-safe") {
