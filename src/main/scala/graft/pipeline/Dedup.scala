@@ -700,18 +700,23 @@ object Dedup {
     blockStats(df.select(col(idCol).as("id"),
       tokenBlocks(col(tokensCol), w).as("__blocks")))
 
-  /** Shared two-phase first-occurrence stats over `(id, __blocks)`. */
+  /** Shared two-phase first-occurrence stats over `(id, __blocks)`.
+    * The hashed `(id, block_idx, h)` triples are materialized ONCE
+    * (`localCheckpoint`, same pattern as the capped jaccard index): both
+    * the per-doc totals and the winners aggregation read them, so the
+    * block construction (tokenize + fold + hash — the expensive part)
+    * never runs twice. The triples are hash-width rows, far narrower than
+    * the text they summarize. */
   private def blockStats(withBlocks: DataFrame): DataFrame = {
     val blocks = withBlocks
       .select(col("id"), posexplode(col("__blocks")).as(Seq("block_idx", "block")))
       .select(col("id"), col("block_idx"),
         TextAnalysis.fingerprint(col("block")).as("h"))
+      .localCheckpoint()
     val keeps = blocks
       .groupBy("h").agg(min(struct(col("id"), col("block_idx"))).as("f"))
       .groupBy(col("f.id").as("id")).agg(count(lit(1)).as("n_keep"))
-    val perDoc = withBlocks
-      .select(col("id"), size(col("__blocks")).cast("long").as("n_blocks"))
-      .where(col("n_blocks") > 0)
+    val perDoc = blocks.groupBy("id").agg(count(lit(1)).as("n_blocks"))
     perDoc.join(keeps, Seq("id"), "left")
       .select(col("id"), col("n_blocks"),
         (col("n_blocks") - coalesce(col("n_keep"), lit(0L))).as("n_dup_blocks"))
