@@ -45,9 +45,14 @@ object TokenGen {
     val len = (i * 2654435761L % maxLen + 1)
     val lenAdj = when(planted(i, EmptyPeriod), lit(0L)).otherwise(len)
 
-    // t(i,j) = (i*31 + j*7919) mod VocabSize
+    // t(i,j) = xxhash64(i,j) mod VocabSize — position-hashed, not an
+    // arithmetic progression: the previous (i*31 + j*7919) mod V form made
+    // most doc pairs SHIFTED copies of each other (for any (i,i') there is
+    // a shift d = 31(i'-i)/7919 mod V; whenever |d| < len the sequences
+    // overlap in len-d positions), planting an unintended corpus-wide
+    // near-duplicate graph that dominated token-domain dedup runs
     val toks = transform(sequence(lit(0), (lenAdj - 1).cast("int")), j =>
-      ((i * 31 + j.cast("long") * 7919) % VocabSize).cast("int"))
+      pmod(xxhash64(i, j), lit(VocabSize.toLong)).cast("int"))
     val tokens = when(planted(i, EmptyPeriod), array().cast("array<int>"))
       .when(planted(i, TokenMinPeriod), concat(array(lit(-1)), slice(toks, 2, 1000000)))
       .when(planted(i, TokenMaxPeriod), concat(array(lit(VocabSize)), slice(toks, 2, 1000000)))

@@ -47,8 +47,12 @@ object AuditCli {
     println(s"== auditing $n synthesized rows (maxLen=$maxLen) ==")
 
     val rowViolations = Violations.validate(facts, pack, Seq("doc_id"))
-    println("-- row-local violations by rule:")
-    Violations.ruleCounts(rowViolations).orderBy("path", "rule_id").show(50, truncate = false)
+    println("-- row-local violations by rule (exact counts + capped exemplar sample):")
+    // the bounded sink: counts stay exact, exemplars are a deterministic
+    // hash-ordered <=5 per rule — a broadly-failing rule can't flood the
+    // report (or, at scale, the sink) with its violation stream
+    Violations.sampleViolations(rowViolations, Seq("doc_id"), perRuleK = 5)
+      .orderBy("path", "rule_id").show(50, truncate = false)
 
     println("-- uniqueness verdict (doc_id):")
     Uniqueness.verdict(facts, Seq("doc_id")).show(truncate = false)
