@@ -202,6 +202,62 @@ object SparkEntry {
       Uniqueness.duplicateKeysHashed(t(s, dir, "lineitem"), Seq("l_orderkey"))
         .orderBy("l_orderkey")),
 
+    "v35_string_battery" -> ((s, dir) => {
+      // string-keyword battery through the PARSE front door: the pack
+      // arrives as JSON text (const + minLength/maxLength — the §2 rows
+      // previously covered by tests only), compiles, and the violation
+      // rows (message-exact) hash-match the closed-form SQL
+      val pack = graft.rulepack.RulePack.parse(
+        """{"type":"object","properties":{
+          |  "p_brand":{"const":"Brand#13"},
+          |  "p_name":{"minLength":20,"maxLength":30}
+          |}}""".stripMargin)
+      Violations.validate(t(s, dir, "part"), pack, Seq("p_partkey"))
+        .select("p_partkey", "path", "rule_id", "message", "observed")
+        .orderBy("p_partkey", "path", "rule_id")
+    }),
+
+    "v36_dependencies_draft4" -> ((s, dir) => {
+      import s.implicits._
+      // the draft-4 `dependencies` keyword through the PARSE front door:
+      // array form (presence -> required) AND hash form (presence ->
+      // sub-schema with its own properties/required), over a struct-parsed
+      // dynamic instance; fixtures cover every branch
+      val pack = graft.rulepack.RulePack.parse(
+        """{"type":"object","dependencies":{
+          |  "k":["k2"],
+          |  "b":{"properties":{"q":{"minimum":10}},"required":["q"]}
+          |}}""".stripMargin)
+      val fixtures = Seq(
+        (910001L, """{"k": 5, "k2": 9}"""),
+        (910002L, """{"k": 7}"""),
+        (910003L, """{"b": 1, "q": 5}"""),
+        (910004L, """{"b": 1}"""),
+        (910005L, """{"z": 1}"""))
+        .toDF("event_id", "props")
+      val ev = t(s, dir, "events").select("event_id", "props").unionByName(fixtures)
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT, k2 INT, b INT, q INT")))
+      Violations.validateColumn(ev, pack, "p", Seq("event_id"))
+        .select("event_id", "path", "rule_id", "message", "observed")
+        .orderBy("event_id", "path", "rule_id")
+    }),
+
+    "v37_combinator_battery" -> ((s, dir) => {
+      // anyOf (fails only when every branch fails — both branch errors
+      // emitted with /anyOf/<i> prefixes) and allOf (every failing branch
+      // reports, /allOf/<i>-prefixed), parsed from JSON — the two
+      // combinator rows v16's oneOf battery left test-only
+      val pack = graft.rulepack.RulePack.parse(
+        """{"type":"object","properties":{
+          |  "l_quantity":{"anyOf":[{"maximum":10},{"minimum":45}]},
+          |  "l_discount":{"allOf":[{"minimum":0.02},{"maximum":0.08}]}
+          |}}""".stripMargin)
+      Violations.validate(t(s, dir, "lineitem"), pack, Seq("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "path", "rule_id", "message", "observed")
+        .orderBy("l_orderkey", "l_linenumber", "path", "rule_id")
+    }),
+
     "v34_violation_samples" -> ((s, dir) =>
       // bounded violation sink: exact per-rule counts + deterministic
       // hash-ordered ≤5 exemplar ids via the K-bounded TopKSketch
@@ -1404,6 +1460,63 @@ object SparkEntry {
     "v03_unique_dup_keys" ->
       """SELECT l_orderkey, count(*) AS n_rows FROM lineitem
         |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+
+    "v37_combinator_battery" ->
+      """SELECT * FROM (
+        | SELECT l_orderkey, l_linenumber, '/l_quantity' AS path, 'maximum' AS rule_id,
+        |   '/anyOf/0 ' || CAST(l_quantity AS VARCHAR) || ' > maximum(10)' AS message,
+        |   CAST(l_quantity AS VARCHAR) AS observed
+        |  FROM lineitem WHERE l_quantity > 10 AND l_quantity < 45
+        | UNION ALL SELECT l_orderkey, l_linenumber, '/l_quantity', 'minimum',
+        |   '/anyOf/1 ' || CAST(l_quantity AS VARCHAR) || ' < minimum(45)', CAST(l_quantity AS VARCHAR)
+        |  FROM lineitem WHERE l_quantity > 10 AND l_quantity < 45
+        | UNION ALL SELECT l_orderkey, l_linenumber, '/l_discount', 'minimum',
+        |   '/allOf/0 ' || CAST(l_discount AS VARCHAR) || ' < minimum(0.02)', CAST(l_discount AS VARCHAR)
+        |  FROM lineitem WHERE l_discount < 0.02
+        | UNION ALL SELECT l_orderkey, l_linenumber, '/l_discount', 'maximum',
+        |   '/allOf/1 ' || CAST(l_discount AS VARCHAR) || ' > maximum(0.08)', CAST(l_discount AS VARCHAR)
+        |  FROM lineitem WHERE l_discount > 0.08
+        |) t ORDER BY l_orderkey, l_linenumber, path, rule_id""".stripMargin,
+
+    "v36_dependencies_draft4" ->
+      """WITH all_ev AS (
+        | SELECT event_id, props FROM events
+        | UNION ALL SELECT * FROM (VALUES
+        |  (910001, '{"k": 5, "k2": 9}'),
+        |  (910002, '{"k": 7}'),
+        |  (910003, '{"b": 1, "q": 5}'),
+        |  (910004, '{"b": 1}'),
+        |  (910005, '{"z": 1}')) AS t(event_id, props)),
+        |x AS (SELECT event_id,
+        |  CAST(NULLIF(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1), '') AS INT) AS k,
+        |  CAST(NULLIF(regexp_extract(props, '"k2"\s*:\s*(-?\d+)', 1), '') AS INT) AS k2,
+        |  CAST(NULLIF(regexp_extract(props, '"b"\s*:\s*(-?\d+)', 1), '') AS INT) AS b,
+        |  CAST(NULLIF(regexp_extract(props, '"q"\s*:\s*(-?\d+)', 1), '') AS INT) AS q
+        | FROM all_ev)
+        |SELECT * FROM (
+        | SELECT event_id, '/k2' AS path, 'dependencies' AS rule_id,
+        |   'Missing property. Dependee: k.' AS message, 'null' AS observed
+        |  FROM x WHERE k IS NOT NULL AND k2 IS NULL
+        | UNION ALL SELECT event_id, '/q', 'minimum',
+        |   q || ' < minimum(10)', CAST(q AS VARCHAR)
+        |  FROM x WHERE b IS NOT NULL AND q IS NOT NULL AND q < 10
+        | UNION ALL SELECT event_id, '/q', 'required',
+        |   'Missing property.', 'null'
+        |  FROM x WHERE b IS NOT NULL AND q IS NULL
+        |) t ORDER BY event_id, path, rule_id""".stripMargin,
+
+    "v35_string_battery" ->
+      """SELECT * FROM (
+        | SELECT p_partkey, '/p_brand' AS path, 'const' AS rule_id,
+        |   'Does not match const: "Brand#13".' AS message, p_brand AS observed
+        |  FROM part WHERE p_brand IS DISTINCT FROM 'Brand#13'
+        | UNION ALL SELECT p_partkey, '/p_name', 'minLength',
+        |   'String is too short: ' || length(p_name) || '/20.', p_name
+        |  FROM part WHERE length(p_name) < 20
+        | UNION ALL SELECT p_partkey, '/p_name', 'maxLength',
+        |   'String is too long: ' || length(p_name) || '/30.', p_name
+        |  FROM part WHERE length(p_name) > 30
+        |) t ORDER BY p_partkey, path, rule_id""".stripMargin,
 
     "v34_violation_samples" ->
       // v02's violation rows → the same portable md5-window rank hash →
