@@ -258,6 +258,46 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber", "path", "rule_id")
     }),
 
+    "v38_coerce_battery" -> ((s, dir) => {
+      import s.implicits._
+      // the coercion rows v12's number leg left test-only: boolean
+      // coercion truth table ("true"/"1"/"false"/"0"/""/junk), number →
+      // string, and OpenAPI v2 collectionFormat ssv splitting over a real
+      // space-delimited column
+      val fx = Seq("true", "1", "false", "0", "", "junk").zipWithIndex
+        .map { case (b, i) => (i + 1L, b) }.toDF("id", "b")
+      val legA = fx.select(col("id"), lit("bool").as("kind"),
+        core.Coerce.booleans(col("b")).cast("string").as("v1"),
+        lit(null).cast("string").as("v2"))
+      val p = t(s, dir, "part")
+      val ssv = core.Coerce.splitCollection(col("p_type"), "ssv")
+      val legB = p.select((col("p_partkey") + 1000L).as("id"), lit("ssv").as("kind"),
+        element_at(ssv, 1).as("v1"), size(ssv).cast("string").as("v2"))
+      val legC = p.select((col("p_partkey") + 200000L).as("id"), lit("str").as("kind"),
+        core.Coerce.strings(col("p_size")).as("v1"), lit(null).cast("string").as("v2"))
+      legA.unionByName(legB).unionByName(legC).orderBy("id", "kind")
+    }),
+
+    "v39_anchor_refs" -> ((s, dir) => {
+      // $anchor + relative-$id resolution IN the oracle gate: the pack
+      // reaches the same enum/pattern rules as v02 only through a
+      // fragment anchor and a relative embedded $id (base-URI rebase) —
+      // identical violation rows prove the resolution path end-to-end
+      val pack = graft.rulepack.RulePack.parse(
+        """{"$id": "https://graft.example/root.json",
+          | "type": "object",
+          | "properties": {
+          |   "o_orderstatus": {"$ref": "#status"},
+          |   "o_orderpriority": {"$ref": "sub/prio.json"}},
+          | "$defs": {
+          |   "st": {"$anchor": "status", "enum": ["O", "F"]},
+          |   "pr": {"$id": "sub/prio.json", "pattern": "^[1-3]-"}}
+          |}""".stripMargin)
+      Violations.validate(t(s, dir, "orders"), pack, Seq("o_orderkey"))
+        .select("o_orderkey", "path", "rule_id", "observed")
+        .orderBy("o_orderkey", "path")
+    }),
+
     "v34_violation_samples" -> ((s, dir) =>
       // bounded violation sink: exact per-rule counts + deterministic
       // hash-ordered ≤5 exemplar ids via the K-bounded TopKSketch
@@ -1460,6 +1500,28 @@ object SparkEntry {
     "v03_unique_dup_keys" ->
       """SELECT l_orderkey, count(*) AS n_rows FROM lineitem
         |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+
+    "v38_coerce_battery" ->
+      """SELECT * FROM (
+        | SELECT * FROM (VALUES
+        |  (1, 'bool', 'true', NULL), (2, 'bool', 'true', NULL),
+        |  (3, 'bool', 'false', NULL), (4, 'bool', 'false', NULL),
+        |  (5, 'bool', 'false', NULL), (6, 'bool', NULL, NULL))
+        |  AS f(id, kind, v1, v2)
+        | UNION ALL SELECT p_partkey + 1000, 'ssv', string_split(p_type, ' ')[1],
+        |   CAST(len(string_split(p_type, ' ')) AS VARCHAR) FROM part
+        | UNION ALL SELECT p_partkey + 200000, 'str', CAST(p_size AS VARCHAR), NULL FROM part
+        |) t ORDER BY id, kind""".stripMargin,
+
+    "v39_anchor_refs" ->
+      // same behavior as v02 reached through $anchor + relative-$id refs
+      """SELECT * FROM (
+        | SELECT o_orderkey, '/o_orderstatus' AS path, 'enum' AS rule_id, o_orderstatus AS observed
+        |  FROM orders WHERE o_orderstatus NOT IN ('O','F')
+        | UNION ALL
+        | SELECT o_orderkey, '/o_orderpriority', 'pattern', o_orderpriority
+        |  FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        |) t ORDER BY o_orderkey, path""".stripMargin,
 
     "v37_combinator_battery" ->
       """SELECT * FROM (
