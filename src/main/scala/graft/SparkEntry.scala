@@ -298,6 +298,79 @@ object SparkEntry {
         .orderBy("o_orderkey", "path")
     }),
 
+    "v40_recursive_tree" -> ((s, _) => {
+      // 2019-09 $recursiveRef/$recursiveAnchor IN the gate: the tree pack
+      // is reached through a cross-document $ref and its children recurse
+      // via "$recursiveRef": "#" against the tree's own $id scope; planted
+      // NULL `data` at depth 1 (id%7) and depth 2 (id%5) must surface at
+      // the exact nested /children/... paths
+      val tree = graft.core.JValue.parse(
+        """{"$schema": "https://json-schema.org/draft/2019-09/schema",
+          | "$id": "urn:x-graft:tree",
+          | "type": "object",
+          | "properties": {
+          |   "data": {"type": "integer"},
+          |   "children": {"type": "array", "items": {"$recursiveRef": "#"}}},
+          | "required": ["data"]}""".stripMargin)
+      val pack = graft.rulepack.RulePack.parse(
+        """{"$id": "urn:x-graft:entry", "$ref": "urn:x-graft:tree"}""",
+        graft.rulepack.RulePack.Store(Map("urn:x-graft:tree" -> tree)))
+      val df = s.range(0, 200).select(col("id"),
+        struct(col("id").cast("int").as("data"),
+          array(struct(
+            when(col("id") % 7 === 0, lit(null).cast("int"))
+              .otherwise(col("id").cast("int") + 1).as("data"),
+            array(struct(
+              when(col("id") % 5 === 0, lit(null).cast("int"))
+                .otherwise(col("id").cast("int") + 2).as("data"))).as("children")
+          )).as("children")).as("doc"))
+      Violations.validateColumn(df, pack, "doc", Seq("id"))
+        .select("id", "path", "rule_id")
+        .orderBy("id", "path")
+    }),
+
+    "v41_custom_format" -> ((s, dir) => {
+      // user-extensible format registry (reference Schema.pm:164-192
+      // formats hash): a custom "sku" format plugs into the same Format
+      // rule machinery, and an unknown format passes (permissive mode —
+      // Schema.pm:601-608); planted bad skus at p_partkey%9
+      val reg = graft.functions.Formats.Registry(extra = Map(
+        "sku" -> ((c: Column) => c.rlike("^[A-Z]{2}-\\d{4}$"))))
+      val df = t(s, dir, "part").select(col("p_partkey"),
+        when(col("p_partkey") % 9 === 0,
+            concat(lit("bad_"), col("p_partkey").cast("string")))
+          .otherwise(format_string("PT-%04d", pmod(col("p_partkey"), lit(10000)))).as("sku"),
+        col("p_type").as("free"))
+      val rule = Properties(Seq(
+        "sku" -> Format("sku"),
+        "free" -> Format("made-up-format")))
+      Violations.validate(df, rule, Seq("p_partkey"),
+          ctx = graft.core.RuleCompiler.Ctx(formats = reg))
+        .select("p_partkey", "path", "rule_id", "message", "observed")
+        .orderBy("p_partkey")
+    }),
+
+    "v42_modality" -> ((s, dir) => {
+      // readOnly/writeOnly in the gate (reference OpenAPIv3.pm:356-396),
+      // BOTH directions: in a request the readOnly property's presence is
+      // a 'Read-only.' error (and per the dispatcher order,
+      // Schema.pm:401-419, the presence error suppresses the enum — enum
+      // runs only after everything else passes); in a response the
+      // writeOnly property's presence is 'Write-only.' while the property
+      // schemas (enum/pattern) validate normally in both directions
+      val rule = Properties(Seq(
+        "o_orderstatus" -> Rule.readOnly(Enum(Seq(core.JStr("O"), core.JStr("F")))),
+        "o_orderpriority" -> Rule.writeOnly(Pattern("^[1-3]-"))))
+      val orders = t(s, dir, "orders")
+      def leg(d: Rule.Direction, name: String) =
+        Violations.validate(orders, rule, Seq("o_orderkey"),
+            ctx = graft.core.RuleCompiler.Ctx(direction = d))
+          .withColumn("direction", lit(name))
+      leg(Rule.Request, "request").unionByName(leg(Rule.Response, "response"))
+        .select("o_orderkey", "direction", "path", "rule_id", "message", "observed")
+        .orderBy("o_orderkey", "direction", "path", "rule_id")
+    }),
+
     "v34_violation_samples" -> ((s, dir) =>
       // bounded violation sink: exact per-rule counts + deterministic
       // hash-ordered ≤5 exemplar ids via the K-bounded TopKSketch
@@ -1500,6 +1573,42 @@ object SparkEntry {
     "v03_unique_dup_keys" ->
       """SELECT l_orderkey, count(*) AS n_rows FROM lineitem
         |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+
+    "v42_modality" ->
+      // request: Read-only. presence error suppresses the enum (dispatcher
+      // order); response: enum fires on bad values, Write-only. presence
+      // fires on the writeOnly property; pattern validates in both
+      """SELECT * FROM (
+        | SELECT o_orderkey, 'request' AS direction, '/o_orderstatus' AS path,
+        |   'modality' AS rule_id, 'Read-only.' AS message, o_orderstatus AS observed
+        |  FROM orders
+        | UNION ALL SELECT o_orderkey, 'request', '/o_orderpriority', 'pattern',
+        |   'String does not match ^[1-3]-.', o_orderpriority
+        |  FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        | UNION ALL SELECT o_orderkey, 'response', '/o_orderstatus', 'enum',
+        |   'Not in enum list: O, F.', o_orderstatus
+        |  FROM orders WHERE o_orderstatus NOT IN ('O','F')
+        | UNION ALL SELECT o_orderkey, 'response', '/o_orderpriority', 'modality',
+        |   'Write-only.', o_orderpriority
+        |  FROM orders
+        | UNION ALL SELECT o_orderkey, 'response', '/o_orderpriority', 'pattern',
+        |   'String does not match ^[1-3]-.', o_orderpriority
+        |  FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-3]-')
+        |) t ORDER BY o_orderkey, direction, path, rule_id""".stripMargin,
+
+    "v41_custom_format" ->
+      """SELECT p_partkey, '/sku' AS path, 'format' AS rule_id,
+        | 'Does not match sku format.' AS message,
+        | 'bad_' || p_partkey AS observed
+        |FROM part WHERE p_partkey % 9 = 0 ORDER BY p_partkey""".stripMargin,
+
+    "v40_recursive_tree" ->
+      """SELECT * FROM (
+        | SELECT i AS id, '/children/0/data' AS path, 'required' AS rule_id
+        |  FROM range(200) t(i) WHERE i % 7 = 0
+        | UNION ALL SELECT i, '/children/0/children/0/data', 'required'
+        |  FROM range(200) t(i) WHERE i % 5 = 0
+        |) t ORDER BY id, path""".stripMargin,
 
     "v38_coerce_battery" ->
       """SELECT * FROM (
