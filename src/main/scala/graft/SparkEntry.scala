@@ -371,6 +371,23 @@ object SparkEntry {
         .orderBy("o_orderkey", "direction", "path", "rule_id")
     }),
 
+    "v43_type_union_bool_schema" -> ((s, dir) => {
+      // type UNION (static flat-table semantics: a string column against
+      // ["integer","number"] fails with the combined want-list message,
+      // Util.pm:66-69 "got" naming) and boolean schema `false` (presence
+      // → not/not, Schema.pm:369); a union the static type satisfies
+      // (o_custkey vs ["integer","string"]) emits nothing
+      val pack = graft.rulepack.RulePack.parse(
+        """{"type":"object","properties":{
+          |  "o_orderpriority":{"type":["integer","number"]},
+          |  "o_orderstatus":false,
+          |  "o_custkey":{"type":["integer","string"]}
+          |}}""".stripMargin)
+      Violations.validate(t(s, dir, "orders"), pack, Seq("o_orderkey"))
+        .select("o_orderkey", "path", "rule_id", "message", "observed")
+        .orderBy("o_orderkey", "path")
+    }),
+
     "v34_violation_samples" -> ((s, dir) =>
       // bounded violation sink: exact per-rule counts + deterministic
       // hash-ordered ≤5 exemplar ids via the K-bounded TopKSketch
@@ -1573,6 +1590,16 @@ object SparkEntry {
     "v03_unique_dup_keys" ->
       """SELECT l_orderkey, count(*) AS n_rows FROM lineitem
         |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+
+    "v43_type_union_bool_schema" ->
+      """SELECT * FROM (
+        | SELECT o_orderkey, '/o_orderpriority' AS path, 'type' AS rule_id,
+        |   'Expected integer/number - got string.' AS message, o_orderpriority AS observed
+        |  FROM orders
+        | UNION ALL SELECT o_orderkey, '/o_orderstatus', 'not',
+        |   'Should not match.', o_orderstatus
+        |  FROM orders
+        |) t ORDER BY o_orderkey, path""".stripMargin,
 
     "v42_modality" ->
       // request: Read-only. presence error suppresses the enum (dispatcher
