@@ -388,6 +388,25 @@ object SparkEntry {
         .orderBy("o_orderkey", "path")
     }),
 
+    "v44_approx_distinct" -> ((s, dir) => {
+      // HLL++ approx-distinct (the 10¹²-row cardinality path): the sketch
+      // value is engine-specific, so the oracle pins what is portable —
+      // the EXACT count plus the claim that the sketch landed within 5%
+      // (HLL merge is order-insensitive, so the estimate is deterministic
+      // for a given dataset; a drifting estimator fails the gate)
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      val aggs = cols.flatMap(c => Seq(
+        count_distinct(col(c)).as(s"${c}__e"),
+        approx_count_distinct(col(c)).as(s"${c}__a")))
+      val row = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val perCol = cols.map(c => struct(lit(c).as("column"),
+        col(s"${c}__e").as("n_exact"),
+        (abs(col(s"${c}__a") - col(s"${c}__e")).cast("double")
+          / col(s"${c}__e").cast("double") <= 0.05).as("within_5pct")))
+      row.select(explode(array(perCol: _*)).as("p")).select("p.*")
+        .orderBy("column")
+    }),
+
     "v34_violation_samples" -> ((s, dir) =>
       // bounded violation sink: exact per-rule counts + deterministic
       // hash-ordered ≤5 exemplar ids via the K-bounded TopKSketch
@@ -1590,6 +1609,13 @@ object SparkEntry {
     "v03_unique_dup_keys" ->
       """SELECT l_orderkey, count(*) AS n_rows FROM lineitem
         |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+
+    "v44_approx_distinct" ->
+      """SELECT * FROM (
+        | SELECT 'l_orderkey' AS "column", count(DISTINCT l_orderkey)::BIGINT AS n_exact, TRUE AS within_5pct FROM lineitem
+        | UNION ALL SELECT 'l_partkey', count(DISTINCT l_partkey)::BIGINT, TRUE FROM lineitem
+        | UNION ALL SELECT 'l_suppkey', count(DISTINCT l_suppkey)::BIGINT, TRUE FROM lineitem
+        |) t ORDER BY "column"""".stripMargin,
 
     "v43_type_union_bool_schema" ->
       """SELECT * FROM (
