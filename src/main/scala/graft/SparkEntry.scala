@@ -253,7 +253,9 @@ object SparkEntry {
           |  "l_quantity":{"anyOf":[{"maximum":10},{"minimum":45}]},
           |  "l_discount":{"allOf":[{"minimum":0.02},{"maximum":0.08}]}
           |}}""".stripMargin)
-      Violations.validate(t(s, dir, "lineitem"), pack, Seq("l_orderkey", "l_linenumber"))
+      Violations.validate(
+          t(s, dir, "lineitem").where(col("l_linenumber") === 1), pack,
+          Seq("l_orderkey", "l_linenumber"))
         .select("l_orderkey", "l_linenumber", "path", "rule_id", "message", "observed")
         .orderBy("l_orderkey", "l_linenumber", "path", "rule_id")
     }),
@@ -1690,16 +1692,16 @@ object SparkEntry {
         | SELECT l_orderkey, l_linenumber, '/l_quantity' AS path, 'maximum' AS rule_id,
         |   '/anyOf/0 ' || CAST(l_quantity AS VARCHAR) || ' > maximum(10)' AS message,
         |   CAST(l_quantity AS VARCHAR) AS observed
-        |  FROM lineitem WHERE l_quantity > 10 AND l_quantity < 45
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_quantity > 10 AND l_quantity < 45
         | UNION ALL SELECT l_orderkey, l_linenumber, '/l_quantity', 'minimum',
         |   '/anyOf/1 ' || CAST(l_quantity AS VARCHAR) || ' < minimum(45)', CAST(l_quantity AS VARCHAR)
-        |  FROM lineitem WHERE l_quantity > 10 AND l_quantity < 45
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_quantity > 10 AND l_quantity < 45
         | UNION ALL SELECT l_orderkey, l_linenumber, '/l_discount', 'minimum',
         |   '/allOf/0 ' || CAST(l_discount AS VARCHAR) || ' < minimum(0.02)', CAST(l_discount AS VARCHAR)
-        |  FROM lineitem WHERE l_discount < 0.02
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_discount < 0.02
         | UNION ALL SELECT l_orderkey, l_linenumber, '/l_discount', 'maximum',
         |   '/allOf/1 ' || CAST(l_discount AS VARCHAR) || ' > maximum(0.08)', CAST(l_discount AS VARCHAR)
-        |  FROM lineitem WHERE l_discount > 0.08
+        |  FROM lineitem WHERE l_linenumber = 1 AND l_discount > 0.08
         |) t ORDER BY l_orderkey, l_linenumber, path, rule_id""".stripMargin,
 
     "v36_dependencies_draft4" ->
