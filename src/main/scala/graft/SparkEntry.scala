@@ -872,6 +872,36 @@ object SparkEntry {
         .orderBy("window_start", "bin")
     }),
 
+    "st05_stream_violation_samples" -> ((s, dir) => {
+      // the bounded violation sampler as a REAL stream (same replay
+      // harness as st03/st04): per closed hourly window, exact per-rule
+      // counts + the deterministic hash-ranked <=5 exemplar ids — state
+      // is one K-bounded heap per (window, rule), never the stream
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = java.nio.file.Files.createTempDirectory("st05_events")
+      stage.toFile.deleteOnExit()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        stage.resolve("events.parquet"))
+      stage.resolve("events.parquet").toFile.deleteOnExit()
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(stage.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val sink = s"st05_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.StreamingValidate
+        .windowedViolationSamples(stream,
+          Properties(Seq("value" -> Maximum(450))), "ts", "event_id",
+          "1 hour", "30 minutes", perRuleK = 5)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      s.table(sink)
+        .select(col("window_start").cast("long").as("window_start"),
+          col("path"), col("rule_id"), col("n_violations"),
+          array_join(col("sample_ids"), ",").as("sample_ids"))
+        .orderBy("window_start")
+    }),
+
     "st01_stream_window_batch" -> ((s, dir) =>
       // batch-equivalent of the Structured Streaming tumbling-window query
       // (the streaming path itself is exercised in StreamingSpec)
@@ -2230,6 +2260,20 @@ object SparkEntry {
         |SELECT ws AS window_start, count(*) AS n_rows, sum(failed)::BIGINT AS n_failed,
         | CASE WHEN sum(failed) = 0 THEN 'pass' ELSE 'fail' END AS verdict
         |FROM w, mx WHERE ws + 3600 <= epoch(m) - 1800
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "st05_stream_violation_samples" ->
+      // closed-window predicate as st03/st04; per-window sample = the K
+      // smallest md5-window ranks, the same family as v34's batch oracle
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |v AS (SELECT event_id, CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS ws
+        |      FROM events WHERE value > 450),
+        |h AS (SELECT ws, event_id,
+        |  ('0x' || substr(md5('0:' || event_id::VARCHAR), 1, 8))::BIGINT AS hk FROM v)
+        |SELECT ws AS window_start, '/value' AS path, 'maximum' AS rule_id,
+        | count(*) AS n_violations,
+        | array_to_string((list(event_id::VARCHAR ORDER BY hk, event_id::VARCHAR))[1:5], ',') AS sample_ids
+        |FROM h, mx WHERE ws + 3600 <= epoch(m) - 1800
         |GROUP BY ws ORDER BY ws""".stripMargin,
 
     "st04_stream_histogram" ->

@@ -100,6 +100,32 @@ object StreamingValidate {
         when(col("n_failed") === 0, "pass").otherwise("fail").as("verdict"))
   }
 
+  /** Tumbling-window BOUNDED violation sampling — the streaming face of
+    * [[graft.core.Violations.sampleViolations]]: per closed window and
+    * rule, the exact violation count plus a deterministic ≤ `perRuleK`
+    * exemplar-id sample ranked by the portable md5-window content hash.
+    * State per open window is one K-bounded heap per rule (the
+    * TypedImperativeAggregate buffer serializes into the state store), so
+    * a broadly-failing stream costs O(windows · rules · K) state, never
+    * the violation stream. */
+  def windowedViolationSamples(stream: DataFrame, rule: Rule, tsCol: String,
+      idCol: String, windowDuration: String, watermark: String,
+      perRuleK: Int): DataFrame = {
+    graft.functions.TopKSketch.register(stream.sparkSession)
+    val v = graft.core.Violations.validate(
+      stream.withWatermark(tsCol, watermark), rule, Seq(idCol, tsCol))
+    // same '0:'||id md5-window rank family the batch sampler and the
+    // DuckDB oracle share
+    val key = conv(substring(md5(concat(lit("0:"),
+      col(idCol).cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
+    v.groupBy(window(col(tsCol), windowDuration), col("path"), col("rule_id"))
+      .agg(count(lit(1)).as("n_violations"),
+        graft.functions.TopKSketch.topkSketch(key, col(idCol).cast("string"), perRuleK)
+          .as("sample_ids"))
+      .select(col("window.start").as("window_start"), col("path"), col("rule_id"),
+        col("n_violations"), col("sample_ids"))
+  }
+
   /** Tumbling-window fixed-bin histogram — the streaming drift monitor's
     * sketch emitter. Each closed window yields its `(window_start, bin, n)`
     * counter rows (bounded state: windows × bins longs); the monitor joins
