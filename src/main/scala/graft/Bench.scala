@@ -33,7 +33,12 @@ object Bench {
     // has complete data
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       (line + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => () }
+    catch {
+      // a silently-stale file would masquerade as this run's record — warn
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] WARNING: BENCH_full.json not written (${e.getMessage}); " +
+          "any existing file is from a PREVIOUS run")
+    }
     spark.stop()
   }
 }

@@ -91,6 +91,34 @@ object SparkEntry {
 
   // -------------------------------------------------------------- queries
 
+  /** Shared replay harness for the streaming oracle entries: stage the
+    * events parquet into a fresh temp DIRECTORY (the file source watches a
+    * directory — exactly a streaming ingest drop-zone), open it as a
+    * file-source stream with a timestamp-typed `ts` (cast BEFORE any
+    * watermark so the event-time tag survives). */
+  private def stagedEventStream(s: SparkSession, dir: String, prefix: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory(prefix)
+    stage.toFile.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stage.resolve("events.parquet"))
+    stage.resolve("events.parquet").toFile.deleteOnExit()
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** Run a streaming query to completion into a uniquely-named memory sink
+    * (AvailableNow + trailing watermark batch) and return the sink table. */
+  private def runToMemorySink(s: SparkSession, out: DataFrame, prefix: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val sink = s"${prefix}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    s.table(sink)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- relational core (Catalyst-native: pushdown, joins, windows) ----
@@ -819,26 +847,10 @@ object SparkEntry {
       // the DuckDB oracle reproduces it with the same closed-window
       // predicate. Row values are bit-identical to the batch twin (pinned
       // by the streaming==batch e2e spec); this entry gates the STREAM.
-      import org.apache.spark.sql.streaming.Trigger
-      // the file source watches a DIRECTORY; stage the single parquet file
-      // into a temp dir (exactly what a streaming ingest drop-zone is)
-      val stage = java.nio.file.Files.createTempDirectory("st03_events")
-      stage.toFile.deleteOnExit()
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        stage.resolve("events.parquet"))
-      stage.resolve("events.parquet").toFile.deleteOnExit()
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(stage.toString)
-        .withColumn("ts", col("ts").cast("timestamp"))
+      val stream = stagedEventStream(s, dir, "st03_events")
       val rule = Properties(Seq("value" -> Maximum(450)))
-      val sink = s"st03_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = graft.streaming.StreamingValidate
-        .windowedVerdicts(stream, rule, "ts", "1 hour", "30 minutes")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
-      s.table(sink)
+      runToMemorySink(s, graft.streaming.StreamingValidate
+          .windowedVerdicts(stream, rule, "ts", "1 hour", "30 minutes"), "st03_sink")
         .select(col("window_start").cast("long").as("window_start"),
           col("n_rows"), col("n_failed"), col("verdict"))
         .orderBy("window_start")
@@ -849,24 +861,10 @@ object SparkEntry {
       // harness as st03): hourly fixed-bin histogram counters, append mode
       // emits the watermark-closed windows; counts are exact integers so
       // the streamed sketch is bit-identical to the batch histogram
-      import org.apache.spark.sql.streaming.Trigger
-      val stage = java.nio.file.Files.createTempDirectory("st04_events")
-      stage.toFile.deleteOnExit()
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        stage.resolve("events.parquet"))
-      stage.resolve("events.parquet").toFile.deleteOnExit()
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(stage.toString)
-        .withColumn("ts", col("ts").cast("timestamp"))
-      val sink = s"st04_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = graft.streaming.StreamingValidate
-        .windowedHistogram(stream, "ts", "value", "1 hour", "30 minutes",
-          lo = 0.0, hi = 500.0, bins = 10)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
-      s.table(sink)
+      val stream = stagedEventStream(s, dir, "st04_events")
+      runToMemorySink(s, graft.streaming.StreamingValidate
+          .windowedHistogram(stream, "ts", "value", "1 hour", "30 minutes",
+            lo = 0.0, hi = 500.0, bins = 10), "st04_sink")
         .select(col("window_start").cast("long").as("window_start"),
           col("bin").cast("long").as("bin"), col("n"))
         .orderBy("window_start", "bin")
@@ -877,25 +875,11 @@ object SparkEntry {
       // harness as st03/st04): per closed hourly window, exact per-rule
       // counts + the deterministic hash-ranked <=5 exemplar ids — state
       // is one K-bounded heap per (window, rule), never the stream
-      import org.apache.spark.sql.streaming.Trigger
-      val stage = java.nio.file.Files.createTempDirectory("st05_events")
-      stage.toFile.deleteOnExit()
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        stage.resolve("events.parquet"))
-      stage.resolve("events.parquet").toFile.deleteOnExit()
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(stage.toString)
-        .withColumn("ts", col("ts").cast("timestamp"))
-      val sink = s"st05_sink_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = graft.streaming.StreamingValidate
-        .windowedViolationSamples(stream,
-          Properties(Seq("value" -> Maximum(450))), "ts", "event_id",
-          "1 hour", "30 minutes", perRuleK = 5)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable(); q.stop()
-      s.table(sink)
+      val stream = stagedEventStream(s, dir, "st05_events")
+      runToMemorySink(s, graft.streaming.StreamingValidate
+          .windowedViolationSamples(stream,
+            Properties(Seq("value" -> Maximum(450))), "ts", "event_id",
+            "1 hour", "30 minutes", perRuleK = 5), "st05_sink")
         .select(col("window_start").cast("long").as("window_start"),
           col("path"), col("rule_id"), col("n_violations"),
           array_join(col("sample_ids"), ",").as("sample_ids"))

@@ -128,10 +128,9 @@ object Violations {
     graft.functions.TopKSketch.register(violations.sparkSession)
     val keyStr = concat_ws("|",
       (idCols ++ keyCols).map(c => col(c).cast("string")): _*)
-    // portable 32-bit md5-window hash ('0x'||substr(md5('0:'||s),1,8) in
-    // DuckDB) — same family as the dedup oracles
-    val key = conv(substring(md5(concat(lit("0:"), keyStr).cast("binary")), 1, 8), 16, 10)
-      .cast("long")
+    // portable 32-bit md5-window hash — the same single definition the
+    // dedup oracles replay (see PortableHash for the DuckDB twin)
+    val key = graft.functions.PortableHash.md5Window32(keyStr, 0)
     val payload = concat_ws("|", idCols.map(c => col(c).cast("string")): _*)
     violations.groupBy("path", "rule_id").agg(
       count(lit(1)).as("n_violations"),

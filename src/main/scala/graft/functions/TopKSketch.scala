@@ -81,11 +81,20 @@ case class TopKSketch(
   override def eval(buf: mutable.PriorityQueue[(Long, String)]): Any =
     new GenericArrayData(buf.toArray.sorted(ord).map(e => UTF8String.fromString(e._2)))
 
+  // length-prefixed raw UTF-8, NOT writeUTF: modified-UTF-8 caps payloads
+  // at 65535 encoded bytes and throws UTFDataFormatException past it — an
+  // arbitrary STRING payload (this function is registered session-wide)
+  // must round-trip at any length
   override def serialize(buf: mutable.PriorityQueue[(Long, String)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (key, payload) => out.writeLong(key); out.writeUTF(payload) }
+    buf.foreach { case (key, payload) =>
+      out.writeLong(key)
+      val b = payload.getBytes("UTF-8")
+      out.writeInt(b.length)
+      out.write(b)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -94,7 +103,12 @@ case class TopKSketch(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
-    (0 until n).foreach(_ => buf.enqueue((in.readLong(), in.readUTF())))
+    (0 until n).foreach { _ =>
+      val key = in.readLong()
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.enqueue((key, new String(b, "UTF-8")))
+    }
     buf
   }
 

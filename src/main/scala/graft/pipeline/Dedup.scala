@@ -20,16 +20,18 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** md5-derived 32-bit hash of a string expression, seeded. Portable:
-    * `('0x' || substr(md5(seed||':'||s),1,8))::BIGINT` in DuckDB. */
+    * `('0x' || substr(md5(seed||':'||s),1,8))::BIGINT` in DuckDB. The one
+    * definition lives in [[graft.functions.PortableHash]] (shared with the
+    * violation samplers). */
   def md5Hash32(s: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), s).cast("binary")), 1, 8), 16, 10).cast("long")
+    graft.functions.PortableHash.md5Window32(s, seed)
 
   /** One md5 yields FOUR independent 32-bit values (hex windows 0..3) —
     * k MinHash signatures cost ⌈k/4⌉ md5s instead of k (md5 dominates the
     * portable family's wall; measured ~2.8× on the signature stage).
     * Portable: `('0x' || substr(md5(g||':'||s), 1+8w, 8))::BIGINT`. */
   def md5Hash32Window(s: Column, group: Int, window: Int): Column =
-    conv(substring(md5(concat(lit(s"$group:"), s).cast("binary")), 1 + 8 * window, 8), 16, 10).cast("long")
+    graft.functions.PortableHash.md5Window32(s, group, window)
 
   /** Exact-duplicate groups by content hash: `(fingerprint, n, min_id)`. */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark side is real and tested — schema, partition-batch shape,
   * backpressure-friendly iterator processing via `mapPartitions` (the Scala
-  * analog of `mapInPandas` batches). IMAGE metadata decode is REAL:
-  * `javax.imageio.ImageIO` (part of the JDK, works offline and headless)
-  * parses PNG/BMP/JPEG/GIF dimensions from the actual bytes. AUDIO header
-  * decode is REAL too: `javax.sound.sampled` parses WAV/AIFF/AU sample
-  * rate, channels, and frame counts. Only VIDEO mimes keep the
-  * deterministic `decodeStub` (no container/codec parser in the JDK and no
-  * codec libraries in this container); swap it for an ffmpeg-style JNI
-  * codec without touching the distribution logic.
+  * analog of `mapInPandas` batches). IMAGE metadata decode is REAL
+  * (`javax.imageio.ImageIO` — JDK, offline, headless — parses PNG/BMP/
+  * JPEG/GIF dimensions from the actual bytes) on the `extractMeta` path.
+  * AUDIO header decode is REAL on its OWN typed path, `extractAudioMeta`
+  * (`javax.sound.sampled` parses WAV/AIFF/AU sample rate, channels, frame
+  * counts — audio metadata is not width/height-shaped, so it gets its own
+  * record). The deterministic `decodeStub` remains only where no JDK
+  * parser exists: VIDEO mimes (and audio rows mistakenly sent down the
+  * image-shaped path — route them to `extractAudioMeta` instead); swap it
+  * for an ffmpeg-style JNI codec without touching the distribution logic.
   */
 object Multimodal {
 
@@ -51,12 +53,15 @@ object Multimodal {
     MediaMeta(row.doc_id, row.mime, row.media.length, w, h, hex)
   }
 
-  /** Mime dispatch: image mimes → the real ImageIO decoder; everything else →
-    * the declared stub. With [[decodeAudio]] handling audio mimes
-    * (WAV/AIFF/AU headers via the JDK's javax.sound.sampled — offline, no
-    * codec libs needed), the stub's remaining territory is VIDEO only
-    * (genuinely environment-forced: no container/codec parser in the
-    * JDK). */
+  /** Mime dispatch for the IMAGE-SHAPED metadata record: image mimes → the
+    * real ImageIO decoder; audio/video mimes → the declared stub (this
+    * record carries width/height, which audio does not have — REAL audio
+    * header decode lives on its own typed path, [[extractAudioMeta]] /
+    * [[decodeAudio]], whose AudioMeta record carries sample-rate/channels/
+    * frames). With that audio path real, the stub is genuinely
+    * load-bearing only for VIDEO (no container/codec parser in the JDK);
+    * for audio it is a legacy width/height placeholder a mixed-corpus
+    * caller should not read — route audio rows to [[extractAudioMeta]]. */
   def decode(row: MediaRow): MediaMeta =
     if (row.mime.startsWith("image/")) decodeImage(row) else decodeStub(row)
 

@@ -257,26 +257,30 @@ object TextAnalysis {
     * bigram-FIRST position (self-consistent, no doc-final off-by-one);
     * V = distinct words in the corpus.
     *
-    * Scale: two partial-aggregated counts (bigram, first-word), then the
-    * doc-bigram stream joins them — and the KEYS ARE ZIPF, not uniform:
-    * "the" is ~5% of English first-word positions and "of the" tops the
-    * bigram table. The first-word table is vocab-sized (≤ distinct
-    * words), so it BROADCASTS — the heaviest skew key never shuffles at
-    * all. The bigram join's probe side stays shuffle-keyed (the bigram
-    * table can exceed broadcast size at corpus scale) with AQE's
-    * OptimizeSkewedJoin splitting its hot partitions; V is one broadcast
+    * Scale: two partial-aggregated counts (bigram, first-word) — and the
+    * KEYS ARE ZIPF, not uniform: "the" is ~5% of English first-word
+    * positions and "of the" tops the bigram table. The first-word counts
+    * therefore attach to the BIGRAM COUNTER table (one row per distinct
+    * bigram — a counter×counter join, bounded by the distinct-bigram
+    * count, never the corpus), so the doc-bigram stream joins exactly
+    * ONCE, on the bigram, with AQE's OptimizeSkewedJoin splitting that
+    * join's hot partitions. No unbounded broadcast anywhere (an explicit
+    * `broadcast(uc)` would collect the full corpus vocabulary — 10⁸⁺
+    * distinct tokens on web text — to the driver); V is one broadcast
     * scalar; per-doc rollup is a counter groupBy. Linear, no pairwise
     * anything. Docs with < 2 words emit nothing.
     * Output `(id, n_bigrams, nll6)` (mean nll rounded to 6 — float
     * summation order is engine-dependent beyond that). */
   def bigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val docBi = df.select(col(idCol).as("id"), explode(bigramArray(col(textCol))).as("bi"))
-      .withColumn("w1", substring_index(col("bi"), " ", 1))
-    val bc = docBi.groupBy("bi").agg(count(lit(1)).as("c12"))
-    val uc = docBi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val biW1 = docBi.withColumn("w1", substring_index(col("bi"), " ", 1))
+    val bc = biW1.groupBy("bi").agg(count(lit(1)).as("c12"))
+    val uc = biW1.groupBy("w1").agg(count(lit(1)).as("c1"))
     val v = df.select(explode(words(col(textCol))).as("w"))
       .agg(count_distinct(col("w")).as("V"))
-    docBi.join(bc, "bi").join(broadcast(uc), "w1").crossJoin(broadcast(v))
+    val enriched = bc.withColumn("w1", substring_index(col("bi"), " ", 1))
+      .join(uc, "w1")
+    docBi.join(enriched, "bi").crossJoin(broadcast(v))
       .withColumn("nll", -log(2.0,
         (col("c12") + 1).cast("double") / (col("c1") + col("V")).cast("double")))
       .groupBy("id").agg(count(lit(1)).as("n_bigrams"),

@@ -115,9 +115,8 @@ object StreamingValidate {
     val v = graft.core.Violations.validate(
       stream.withWatermark(tsCol, watermark), rule, Seq(idCol, tsCol))
     // same '0:'||id md5-window rank family the batch sampler and the
-    // DuckDB oracle share
-    val key = conv(substring(md5(concat(lit("0:"),
-      col(idCol).cast("string")).cast("binary")), 1, 8), 16, 10).cast("long")
+    // DuckDB oracle share (single definition: PortableHash)
+    val key = graft.functions.PortableHash.md5Window32(col(idCol).cast("string"), 0)
     v.groupBy(window(col(tsCol), windowDuration), col("path"), col("rule_id"))
       .agg(count(lit(1)).as("n_violations"),
         graft.functions.TopKSketch.topkSketch(key, col(idCol).cast("string"), perRuleK)

@@ -45,15 +45,23 @@ object TokenPipelineCli {
     Violations.sampleViolations(violations, Seq("doc_id"), perRuleK = 5)
       .orderBy("path", "rule_id").show(50, truncate = false)
 
-    // 2. fail-closed: drop every doc with at least one violation
+    // 2. fail-closed: drop every doc with at least one violation, AND
+    //    every doc whose id is duplicated — a non-unique id would alias
+    //    rows in every downstream stage (packing orders by id; joins fan
+    //    out), so uniqueness is a validation here, not just a report
     val badIds = violations.select(col("doc_id")).distinct()
-    val valid = facts.join(badIds, Seq("doc_id"), "left_anti")
+    val dupIds = graft.global.Uniqueness.duplicateKeys(facts, Seq("doc_id"))
+      .select("doc_id")
+    val valid = facts.join(badIds.unionByName(dupIds).distinct(), Seq("doc_id"), "left_anti")
     val n1 = valid.count()
 
-    // 3. exact dedup in the token domain (keep the min doc_id per group)
+    // 3. exact dedup in the token domain (keep the min doc_id per group);
+    //    checkpoint: five downstream actions (counts, pairs, packing, bin
+    //    report, snapshot) must not re-run the validation/dedup lineage
     val fp = TokenPipelineSteps.withTokenFingerprint(valid)
     val keepers = fp.groupBy("fp").agg(min("doc_id").as("doc_id"))
     val exactDeduped = fp.join(keepers, Seq("fp", "doc_id"), "left_semi").drop("fp")
+      .localCheckpoint()
     val n2 = exactDeduped.count()
 
     // 4. near-dup collapse, token-native (fast hash family; the
@@ -66,7 +74,7 @@ object TokenPipelineCli {
     // min-label pays O(diameter) rounds
     val comps = Dedup.connectedComponentsStar(pairs)
     val drop = comps.where(col("id") =!= col("component")).select(col("id").as("doc_id"))
-    val cleaned = exactDeduped.join(drop, Seq("doc_id"), "left_anti")
+    val cleaned = exactDeduped.join(drop, Seq("doc_id"), "left_anti").localCheckpoint()
     val n3 = cleaned.count()
 
     // 5. packing layout + bin report (numeric id = the doc index digits)

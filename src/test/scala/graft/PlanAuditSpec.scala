@@ -198,15 +198,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("p24 bigram-nll joins the vocab-sized first-word counts by BROADCAST") {
+  test("p24 bigram-nll never joins the doc stream on the Zipf first-word key") {
     // the w1 key is Zipf ("the" is ~5% of English first-word positions):
-    // a sort-merge there shuffles the whole doc-bigram stream on a skewed
-    // key; uc is vocab-sized and must broadcast, removing the hot key from
-    // the exchange entirely. The bigram-count join may stay shuffle-keyed
-    // (AQE skew-split is the guard at scale).
-    val plan = planString(SparkEntry.queries("p24_bigram_nll")(spark, dir))
-    assert(plan.contains("BroadcastHashJoin"), "no broadcast join in the bigram plan")
-    assert(!plan.contains("SortMergeJoin [w1"), "first-word join lost its broadcast")
+    // the first-word counts must attach to the bigram COUNTER table
+    // (counter×counter join), so the doc-bigram stream joins exactly once,
+    // on the bigram (AQE skew-split is that join's guard at scale). A
+    // sort-merge keyed on w1 anywhere near the stream means the
+    // counter-side attach regressed into a stream-side join.
+    val df = SparkEntry.queries("p24_bigram_nll")(spark, dir)
+    df.collect()
+    val plan = planString(df).split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin [w1"), "doc stream is sort-merging on the first word")
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("items bound guard is present in the token-audit validate plan") {
