@@ -26,6 +26,19 @@ class TopKSketchSpec extends SparkSuite {
     assert(small === Seq("b"))
   }
 
+  test("topk_sketch round-trips payloads past the 64KB modified-UTF-8 cliff") {
+    // regression: writeUTF throws UTFDataFormatException past 65535
+    // encoded bytes; the registered function takes ARBITRARY payloads, so
+    // serde is length-prefixed raw UTF-8. Force the merge/serde path with
+    // a repartition so partial buffers actually serialize.
+    TopKSketch.register(spark)
+    val big = "x" * 100000
+    val df = Seq((2L, big), (1L, "small")).toDF("k", "v").repartition(2)
+    val got = df.agg(TopKSketch.topkSketch(col("k"), col("v"), 2))
+      .as[Seq[String]].head()
+    assert(got === Seq("small", big))
+  }
+
   test("topk_sketch is partition-invariant (merge path exercised)") {
     TopKSketch.register(spark)
     val rng = new scala.util.Random(11)
