@@ -34,7 +34,8 @@ class PlanAuditSpec extends SparkSuite {
 
   test("bucketed similarity/dedup paths never plan a cartesian product") {
     for (q <- Seq("s02_ann_lsh", "s03_embedding_neardup", "p06_ngram_jaccard",
-        "p08_minhash_candidates", "p12_contamination", "p19_simhash_neardup")) {
+        "p08_minhash_candidates", "p12_contamination", "p19_simhash_neardup",
+        "p29_token_minhash", "p33_token_jaccard")) {
       val plan = planString(SparkEntry.queries(q)(spark, dir))
       assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
