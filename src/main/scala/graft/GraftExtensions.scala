@@ -17,7 +17,10 @@ import graft.functions.HistogramSketch
   *  - `graft_dot(a, b)` — the codegen'd array dot product behind the ANN
   *    similarity paths;
   *  - `topk_sketch(key, payload, k)` — the K-bounded deterministic
-  *    top-K aggregate behind violation-sample caps.
+  *    top-K aggregate behind violation-sample caps;
+  *  - `tdigest_sketch(col, compression)` / `tdigest_quantile(digest, q)`
+  *    — the mergeable t-digest quantile sketch (north_star's named
+  *    at-scale quantile path).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -29,6 +32,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_sketch"),
       new ExpressionInfo(classOf[graft.functions.TopKSketch].getName, "topk_sketch"),
       (exprs: Seq[Expression]) => graft.functions.TopKSketch.fromExpressions(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("tdigest_sketch"),
+      new ExpressionInfo(classOf[graft.functions.TDigestSketch].getName, "tdigest_sketch"),
+      (exprs: Seq[Expression]) => graft.functions.TDigestSketch.fromExpressions(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("tdigest_quantile"),
+      new ExpressionInfo(classOf[graft.functions.TDigestQuantile].getName, "tdigest_quantile"),
+      (exprs: Seq[Expression]) => graft.functions.TDigestSketch.quantileFromExpressions(exprs)))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),

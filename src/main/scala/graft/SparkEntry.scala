@@ -440,6 +440,95 @@ object SparkEntry {
         .orderBy("column")
     }),
 
+    "v45_tdigest_quantiles" -> ((s, dir) => {
+      // t-digest quantile sketch (the north-star's NAMED at-scale quantile
+      // path; public algorithm: Dunning & Ertl's merging digest). Centroid
+      // layout is merge-order-dependent, so the oracle pins what is
+      // portable: the EXACT R-7 quantile (v24 parity) plus the claim that
+      // the sketch landed within 0.02 RANK error. The rank check is
+      // interval-form — P(X < est) − eps ≤ q ≤ P(X ≤ est) + eps — so a
+      // discrete column whose atoms carry 9% mass each (l_discount) is
+      // judged fairly: an atom contributes its whole mass to the pass
+      // interval. Spec'd bound at compression 300 is <0.01 (TDigestSpec),
+      // giving the gate 2× headroom.
+      graft.functions.TDigestSketch.register(s)
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      val li = t(s, dir, "lineitem")
+      // pass 1: ONE digest aggregation; the collect touches |cols|×|qs|
+      // scalar estimates (tiny), mirroring the PackInference pattern
+      val ests: Map[(String, Double), Double] =
+        ColumnStats.quantileDigest(li, cols, qs, compression = 300)
+          .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      // pass 2: ONE exact aggregation — R-7 quantiles + the rank interval
+      // of each estimate via counter sums against literal estimates
+      val aggs = cols.flatMap { c =>
+        expr(s"percentile($c, array(${qs.map(q => s"${q}D").mkString(",")}))").as(s"${c}__p") +:
+          qs.zipWithIndex.flatMap { case (q, i) =>
+            val e = ests((c, q))
+            Seq(sum((col(c) < e).cast("long")).as(s"${c}__lt_$i"),
+              sum((col(c) <= e).cast("long")).as(s"${c}__le_$i"))
+          }
+      } :+ count(lit(1)).as("__n")
+      val row = li.agg(aggs.head, aggs.tail: _*)
+      val out = cols.flatMap { c => qs.zipWithIndex.map { case (q, i) =>
+        struct(lit(c).as("column"), lit(q).as("q"),
+          round(element_at(col(s"${c}__p"), i + 1), 6).as("p_exact"),
+          (col(s"${c}__lt_$i").cast("double") / col("__n") - lit(0.02) <= lit(q) &&
+            lit(q) <= col(s"${c}__le_$i").cast("double") / col("__n") + lit(0.02))
+            .as("within_rank_tol"))
+      }}
+      row.select(explode(array(out: _*)).as("s")).select("s.*").orderBy("column", "q")
+    }),
+
+    "v46_param_styles" -> ((s, dir) => {
+      // OpenAPI v3 style/explode parameter DECODE as column ops
+      // (OpenAPIv3.pm:148-253 semantics; t/openapiv3-style-explode.t
+      // fixtures pinned in ParamStylesSpec). Encoded strings are built
+      // from p_name's words, decoded by every style, and exploded to
+      // (row, case, position/key, item) — DuckDB independently rebuilds
+      // the expected decode from the same words, so a delimiter slip in
+      // any style family breaks the hash
+      import graft.functions.ParamStyles._
+      val p = t(s, dir, "part").where(col("p_partkey") <= 200)
+        .select(col("p_partkey"), split(col("p_name"), " ").as("ws"), col("p_name"))
+      def arrCase(kase: String, enc: Column, dec: Column => Column): DataFrame =
+        p.select(col("p_partkey"), lit(kase).as("kase"), posexplode(dec(enc)))
+          .select(col("p_partkey"), col("kase"),
+            (col("pos") + 1).cast("string").as("k"), col("col").as("v"))
+      def objCase(kase: String, enc: Column, dec: Column => Column): DataFrame =
+        p.select(col("p_partkey"), lit(kase).as("kase"), explode(dec(enc)))
+          .select(col("p_partkey"), col("kase"), col("key").as("k"), col("value").as("v"))
+      def joinWs(sep: String) = array_join(col("ws"), sep)
+      // alternating k{i},w{i} pair list (object non-explode form)
+      def interWs(sep: String) = array_join(flatten(transform(col("ws"),
+        (w, i) => array(concat(lit("k"), i.cast("string")), w))), sep)
+      // k{i}=w{i} pieces (object explode forms)
+      def kvWs(sep: String) = array_join(transform(col("ws"),
+        (w, i) => concat(lit("k"), i.cast("string"), lit("="), w)), sep)
+      // p[k{i}]=w{i} query pairs (deepObject)
+      val deepWs = array_join(transform(col("ws"),
+        (w, i) => concat(lit("p[k"), i.cast("string"), lit("]="), w)), "&")
+      val cases = Seq(
+        arrCase("arr_form", joinWs(","), decodeStyleArray(_, "form", explode = false)),
+        arrCase("arr_space", col("p_name"), decodeStyleArray(_, "spaceDelimited", explode = false)),
+        arrCase("arr_pipe", joinWs("|"), decodeStyleArray(_, "pipeDelimited", explode = false)),
+        arrCase("arr_single", element_at(col("ws"), 1), decodeStyleArray(_, "simple", explode = false)),
+        arrCase("arr_label", concat(lit("."), joinWs(",")), decodeStyleArray(_, "label", explode = false)),
+        arrCase("arr_label_x", concat(lit("."), joinWs(".")), decodeStyleArray(_, "label", explode = true)),
+        arrCase("arr_matrix", concat(lit(";p="), joinWs(",")), decodeStyleArray(_, "matrix", explode = false, "p")),
+        arrCase("arr_matrix_x", concat(lit(";p="), joinWs(";p=")), decodeStyleArray(_, "matrix", explode = true, "p")),
+        // missing matrix prefix: the un-switched separator never matches →
+        // the raw value survives as a single item (reference split parity)
+        arrCase("arr_matrix_raw", col("p_name"), decodeStyleArray(_, "matrix", explode = false, "p")),
+        objCase("obj_form", interWs(","), decodeStyleObject(_, "form", explode = false)),
+        objCase("obj_simple_x", kvWs(","), decodeStyleObject(_, "simple", explode = true)),
+        objCase("obj_label", concat(lit("."), interWs(".")), decodeStyleObject(_, "label", explode = false)),
+        objCase("obj_matrix_x", concat(lit(";"), kvWs(";")), decodeStyleObject(_, "matrix", explode = true)),
+        objCase("obj_deep", concat(deepWs, lit("&zz=1")), decodeDeepObject(_, "p")))
+      cases.reduce(_ unionByName _).orderBy("p_partkey", "kase", "k")
+    }),
+
     "v34_violation_samples" -> ((s, dir) =>
       // bounded violation sink: exact per-rule counts + deterministic
       // hash-ordered ≤5 exemplar ids via the K-bounded TopKSketch
@@ -1628,6 +1717,38 @@ object SparkEntry {
     "v03_unique_dup_keys" ->
       """SELECT l_orderkey, count(*) AS n_rows FROM lineitem
         |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+
+    "v45_tdigest_quantiles" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+      // the digest's estimate is sketch-internal; the oracle pins the
+      // exact R-7 quantile (quantile_cont parity, as v24) and the
+      // engine-side rank-tolerance verdict, which must be TRUE
+      "SELECT * FROM (" + cols.flatMap(c => qs.map(q =>
+        s"""SELECT '$c' AS "column", CAST($q AS DOUBLE) AS q, """ +
+          s"round(quantile_cont($c, $q), 6) AS p_exact, TRUE AS within_rank_tol FROM lineitem"))
+        .mkString("\n UNION ALL ") + "\n) t ORDER BY \"column\", q"
+    },
+
+    "v46_param_styles" ->
+      """WITH pw AS (
+        |  SELECT p_partkey, string_split(p_name, ' ') AS ws, p_name
+        |  FROM part WHERE p_partkey <= 200),
+        |w AS (
+        |  SELECT p_partkey, unnest(ws) AS v, unnest(range(1, len(ws)+1)) AS i FROM pw)
+        |SELECT * FROM (
+        |  SELECT p_partkey, c.kase, i::VARCHAR AS k, v
+        |  FROM w CROSS JOIN (VALUES ('arr_form'),('arr_space'),('arr_pipe'),('arr_label'),
+        |    ('arr_label_x'),('arr_matrix'),('arr_matrix_x')) c(kase)
+        |  UNION ALL
+        |  SELECT p_partkey, 'arr_single', '1', ws[1] FROM pw
+        |  UNION ALL
+        |  SELECT p_partkey, 'arr_matrix_raw', '1', p_name FROM pw
+        |  UNION ALL
+        |  SELECT p_partkey, c.kase, 'k' || (i-1)::VARCHAR, v
+        |  FROM w CROSS JOIN (VALUES ('obj_form'),('obj_simple_x'),('obj_label'),
+        |    ('obj_matrix_x'),('obj_deep')) c(kase)
+        |) t ORDER BY p_partkey, kase, k""".stripMargin,
 
     "v44_approx_distinct" ->
       """SELECT * FROM (

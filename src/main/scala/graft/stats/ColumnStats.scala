@@ -75,6 +75,29 @@ object ColumnStats {
       .select("s.*")
   }
 
+  /** t-digest quantile estimates for numeric columns in ONE aggregation —
+    * the at-scale quantile path `BASELINE.json`'s north_star names
+    * ("t-digest quantile sketches"). Unlike `percentile_approx`, the
+    * digest itself is an engine-owned mergeable artifact
+    * ([[graft.functions.TDigestSketch]]): it can be stored per
+    * partition/snapshot in the metrics table and re-merged across runs.
+    * Long output: one row per (column, q) with the estimate. */
+  def quantileDigest(df: DataFrame, columns: Seq[String], qs: Seq[Double],
+      compression: Double = 300): DataFrame = {
+    import graft.functions.TDigestSketch.{tdigestSketch, tdigestQuantile}
+    graft.functions.TDigestSketch.register(df.sparkSession)
+    val aggs = columns.map(c => tdigestSketch(col(c), compression).as(s"${c}__td"))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = columns.map { c =>
+      struct(lit(c).as("column"), array(qs.map { q =>
+        struct(lit(q).as("q"), tdigestQuantile(col(s"${c}__td"), q).as("est"))
+      }: _*).as("ests"))
+    }
+    row.select(explode(array(perCol: _*)).as("s"))
+      .select(col("s.column").as("column"), explode(col("s.ests")).as("e"))
+      .select(col("column"), col("e.q").as("q"), col("e.est").as("est"))
+  }
+
   /** Per-partition stats for the lineage/metrics table (north_rule):
     * group by a data partition column, one shuffle of constant-size state. */
   def byPartition(df: DataFrame, partitionCol: String, valueCol: String): DataFrame =
