@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.TDigestQuantile].getName, "tdigest_quantile"),
       (exprs: Seq[Expression]) => graft.functions.TDigestSketch.quantileFromExpressions(exprs)))
     ext.injectFunction((
+      FunctionIdentifier("tdigest_cdf"),
+      new ExpressionInfo(classOf[graft.functions.TDigestCdf].getName, "tdigest_cdf"),
+      (exprs: Seq[Expression]) => graft.functions.TDigestSketch.cdfFromExpressions(exprs)))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => graft.functions.VectorOps.fromExpressions(exprs)))

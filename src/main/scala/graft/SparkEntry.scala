@@ -440,6 +440,32 @@ object SparkEntry {
         .orderBy("column")
     }),
 
+    "v47_drift_sketched" -> ((s, dir) => {
+      // north_star composed end to end: the t-digest as the STORED
+      // snapshot artifact for distribution-drift checks — PSI/KL computed
+      // from two digests via tdigest_cdf (Drift.psiSketched/klSketched;
+      // neither snapshot is rescanned once its digest exists) and judged
+      // against the exact histogram PSI/KL over the same binning. The
+      // sketch value is merge-order-dependent, so the oracle pins the
+      // portable pair: the EXACT distances plus the claim that the
+      // sketched ones landed within 0.01 absolute (measured gap at sf0.01
+      // is ~2.5e-4 — 40× headroom; TDigestSpec pins the tracking law on a
+      // strongly-drifted fixture where PSI > 0.2)
+      val li = t(s, dir, "lineitem")
+      val ref = li.where(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val cur = li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      val (c, lo, hi, bins) = ("l_extendedprice", 900.0, 105000.0, 20)
+      def hist(d: DataFrame) = Drift.histogram(d, c, lo, hi, bins)
+      // four 1-row aggregates; the crossJoins are 1×1 result stitching
+      Drift.psi(hist(ref), hist(cur)).select(round(col("psi"), 6).as("psi_exact"))
+        .crossJoin(Drift.kl(hist(ref), hist(cur)).select(round(col("kl"), 6).as("kl_exact")))
+        .crossJoin(Drift.psiSketched(ref, cur, c, lo, hi, bins).select(col("psi").as("psi_sk")))
+        .crossJoin(Drift.klSketched(ref, cur, c, lo, hi, bins).select(col("kl").as("kl_sk")))
+        .select(col("psi_exact"), col("kl_exact"),
+          (abs(col("psi_sk") - col("psi_exact")) <= 0.01).as("psi_within_tol"),
+          (abs(col("kl_sk") - col("kl_exact")) <= 0.01).as("kl_within_tol"))
+    }),
+
     "v45_tdigest_quantiles" -> ((s, dir) => {
       // t-digest quantile sketch (the north-star's NAMED at-scale quantile
       // path; public algorithm: Dunning & Ertl's merging digest). Centroid
@@ -1717,6 +1743,22 @@ object SparkEntry {
     "v03_unique_dup_keys" ->
       """SELECT l_orderkey, count(*) AS n_rows FROM lineitem
         |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+
+    "v47_drift_sketched" ->
+      """WITH binned AS (
+        | SELECT CAST(least(greatest(floor((l_extendedprice - 900)/5205.0), 0), 19) AS INT) AS bin,
+        |        l_shipdate < TIMESTAMP '1998-01-01' AS is_ref
+        | FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |r AS (SELECT bin, count(*) AS n FROM binned WHERE is_ref GROUP BY bin),
+        |c AS (SELECT bin, count(*) AS n FROM binned WHERE NOT is_ref GROUP BY bin),
+        |rt AS (SELECT sum(n) AS t FROM r), ct AS (SELECT sum(n) AS t FROM c),
+        |j AS (SELECT COALESCE(r.bin, c.bin) AS bin,
+        |       greatest(COALESCE(r.n, 0)::DOUBLE / (SELECT t FROM rt), 1e-6) AS p,
+        |       greatest(COALESCE(c.n, 0)::DOUBLE / (SELECT t FROM ct), 1e-6) AS q
+        |      FROM r FULL OUTER JOIN c ON r.bin = c.bin)
+        |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi_exact,
+        |       round(sum(p * ln(p / q)), 6) AS kl_exact,
+        |       TRUE AS psi_within_tol, TRUE AS kl_within_tol FROM j""".stripMargin,
 
     "v45_tdigest_quantiles" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")

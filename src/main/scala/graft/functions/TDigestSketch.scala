@@ -159,6 +159,49 @@ object TDigestState {
     means(n - 1)
   }
 
+  /** CDF estimate (rank of `x` in [0,1]) — the inverse interpolation of
+    * [[quantile]], monotone in `x`, with the tracked min/max anchoring the
+    * tails. This is what turns two stored digests into a drift check
+    * (bin mass = cdf(hi) − cdf(lo)) without rescanning either snapshot. */
+  def cdf(minV: Double, maxV: Double,
+      means: Array[Double], weights: Array[Double], x: Double): Double = {
+    val n = means.length
+    if (n == 0) return Double.NaN
+    if (n == 1) return if (x < means(0)) 0.0 else if (x > means(0)) 1.0 else 0.5
+    if (x <= minV) return 0.0
+    if (x >= maxV) return 1.0
+    var total = 0.0
+    var i = 0
+    while (i < n) { total += weights(i); i += 1 }
+    val firstMid = weights(0) / 2
+    if (x <= means(0)) {
+      val span = means(0) - minV
+      val r = if (span == 0) firstMid else firstMid * (x - minV) / span
+      return r / total
+    }
+    val lastMidRank = total - weights(n - 1) / 2
+    if (x >= means(n - 1)) {
+      val span = maxV - means(n - 1)
+      val r = if (span == 0) lastMidRank
+      else lastMidRank + (total - lastMidRank) * (x - means(n - 1)) / span
+      return r / total
+    }
+    var cum = 0.0
+    i = 0
+    while (i < n - 1) {
+      if (x <= means(i + 1)) {
+        val midI = cum + weights(i) / 2
+        val midN = cum + weights(i) + weights(i + 1) / 2
+        val span = means(i + 1) - means(i)
+        val r = if (span == 0) midN else midI + (midN - midI) * (x - means(i)) / span
+        return r / total
+      }
+      cum += weights(i)
+      i += 1
+    }
+    1.0
+  }
+
   /** Result type shared by the aggregate and [[TDigestQuantile]]. */
   val centroidType: StructType = StructType(Seq(
     StructField("mean", DoubleType, nullable = false),
@@ -299,6 +342,44 @@ case class TDigestQuantile(left: Expression, right: Expression)
   override def prettyName: String = "tdigest_quantile"
 }
 
+/** `tdigest_cdf(digest, x)` — rank estimate of a value from a
+  * [[TDigestSketch]] result (monotone inverse of [[TDigestQuantile]]). */
+case class TDigestCdf(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (DataType.equalsStructurally(left.dataType, TDigestState.resultType, ignoreNullability = true) &&
+        right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tdigest_cdf(digest, x) needs (${TDigestState.resultType.sql}, DOUBLE), " +
+        s"got (${left.dataType.sql}, ${right.dataType.sql})")
+
+  override protected def nullSafeEval(digest: Any, x: Any): Any = {
+    val row = digest.asInstanceOf[InternalRow]
+    val arr = row.getArray(2)
+    val n = arr.numElements()
+    val means = new Array[Double](n)
+    val weights = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val c = arr.getStruct(i, 2)
+      means(i) = c.getDouble(0)
+      weights(i) = c.getDouble(1)
+      i += 1
+    }
+    TDigestState.cdf(row.getDouble(0), row.getDouble(1), means, weights,
+      x.asInstanceOf[Double])
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): TDigestCdf =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "tdigest_cdf"
+}
+
 object TDigestSketch {
 
   private def doubleOf(e: Expression, what: String): Double = e.eval() match {
@@ -318,12 +399,17 @@ object TDigestSketch {
   def quantileFromExpressions(exprs: Seq[Expression]): TDigestQuantile =
     TDigestQuantile(exprs(0), exprs(1))
 
-  /** Register `tdigest_sketch` and `tdigest_quantile` in this session. */
+  def cdfFromExpressions(exprs: Seq[Expression]): TDigestCdf =
+    TDigestCdf(exprs(0), exprs(1))
+
+  /** Register `tdigest_sketch`, `tdigest_quantile`, `tdigest_cdf`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tdigest_sketch", fromExpressions, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tdigest_quantile", quantileFromExpressions, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tdigest_cdf", cdfFromExpressions, "built-in")
   }
 
   /** Column forms (require [[register]] once per session). */
@@ -331,4 +417,6 @@ object TDigestSketch {
     call_function("tdigest_sketch", c.cast("double"), lit(compression))
   def tdigestQuantile(digest: Column, q: Double): Column =
     call_function("tdigest_quantile", digest, lit(q))
+  def tdigestCdf(digest: Column, x: Double): Column =
+    call_function("tdigest_cdf", digest, lit(x))
 }

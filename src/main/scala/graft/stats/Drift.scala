@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   * counts are exact integers (deterministic across partitionings and
   * engines); only the final PSI/KL arithmetic is floating point.
   *
-  * For quantile-based drift the built-in `percentile_approx` (a KLL-style
-  * rank sketch; see PAPERS.md quantile-sketch survey) serves as the stored
-  * reference sketch — a custom t-digest `TypedImperativeAggregate` is the
-  * upgrade path if finer tails are needed (SURVEY.md §7.5).
+  * For quantile-based drift the stored reference sketch is the engine's
+  * own t-digest ([[graft.functions.TDigestSketch]], the north_star's named
+  * sketch): [[psiSketched]]/[[klSketched]] compute the drift distance from
+  * two digests via `tdigest_cdf` without rescanning either snapshot; the
+  * built-in `percentile_approx` (KLL-style; PAPERS.md quantile-sketch
+  * survey) remains available where only point quantiles are needed.
   */
 object Drift {
 
@@ -120,6 +122,54 @@ object Drift {
       .groupBy("grp")
       .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
   }
+
+  /** Per-bin (p, q) proportions derived from two t-digest SKETCHES instead
+    * of exact histograms: bin mass = `cdf(hi) − cdf(lo)` on each digest,
+    * edge bins absorb the tails (cdf is monotone, so masses are
+    * non-negative and sum to 1 — the same clamp contract as
+    * [[histogram]]). This is the north_star's "t-digest quantile sketches
+    * for distribution-drift checks" composed end to end: each snapshot is
+    * ONE digest aggregation (O(compression) state), and the drift
+    * arithmetic runs on the two stored artifacts — re-checking against a
+    * month of snapshots rescans nothing. */
+  private def digestProportions(reference: DataFrame, current: DataFrame,
+      valueCol: String, lo: Double, hi: Double, bins: Int,
+      compression: Double, eps: Double): DataFrame = {
+    import graft.functions.TDigestSketch.{tdigestSketch, tdigestCdf}
+    graft.functions.TDigestSketch.register(reference.sparkSession)
+    val rd = reference.agg(tdigestSketch(col(valueCol), compression).as("dref"))
+    val cd = current.agg(tdigestSketch(col(valueCol), compression).as("dcur"))
+    val width = (hi - lo) / bins
+    val rows = (0 until bins).map { i =>
+      def mass(d: String): Column = {
+        val pl = if (i == 0) lit(0.0) else tdigestCdf(col(d), lo + i * width)
+        val ph = if (i == bins - 1) lit(1.0) else tdigestCdf(col(d), lo + (i + 1) * width)
+        ph - pl
+      }
+      struct(lit(i).as("bin"), mass("dref").as("p"), mass("dcur").as("q"))
+    }
+    rd.crossJoin(cd) // 1×1: two sketch rows, no data motion
+      .select(explode(array(rows: _*)).as("s"))
+      .select(col("s.bin").as("bin"),
+        greatest(col("s.p"), lit(eps)).as("p"),
+        greatest(col("s.q"), lit(eps)).as("q"))
+  }
+
+  /** PSI computed from two t-digest sketches (see [[digestProportions]]);
+    * agrees with the exact [[psi]] to within the digest's rank error —
+    * pinned by spec and by the v47 oracle's tolerance verdict. */
+  def psiSketched(reference: DataFrame, current: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int,
+      compression: Double = 300, eps: Double = 1e-6): DataFrame =
+    digestProportions(reference, current, valueCol, lo, hi, bins, compression, eps)
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+
+  /** KL(P || Q) from two t-digest sketches. */
+  def klSketched(reference: DataFrame, current: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int,
+      compression: Double = 300, eps: Double = 1e-6): DataFrame =
+    digestProportions(reference, current, valueCol, lo, hi, bins, compression, eps)
+      .agg(sum(col("p") * log(col("p") / col("q"))).as("kl"))
 
   /** Drift verdict in the violation-row shape: fires when PSI exceeds
     * `threshold`. */

@@ -109,6 +109,52 @@ class TDigestSpec extends SparkSuite {
     assert(mid > 900 && mid < 1100, s"median of b was $mid")
   }
 
+  test("cdf is the monotone inverse of quantile: cdf(quantile(q)) ≈ q") {
+    val df = uniformDf(50000)
+    val d = df.agg(TDigestSketch.tdigestSketch(col("v"), 300).as("td"))
+    val qs2 = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+    val ests = d.select(qs2.map(q => TDigestSketch.tdigestQuantile(col("td"), q)): _*)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    val backs = d.select(qs2.indices.map(i =>
+      TDigestSketch.tdigestCdf(col("td"), ests(i))): _*)
+      .head().toSeq.map(_.asInstanceOf[Double])
+    qs2.zip(backs).foreach { case (q, b) =>
+      assert(math.abs(q - b) < 0.005, s"cdf(quantile($q)) = $b")
+    }
+    // monotone + tail anchoring
+    val Row(c0: Double, c1: Double) = d.select(
+      TDigestSketch.tdigestCdf(col("td"), -1.0),
+      TDigestSketch.tdigestCdf(col("td"), 1e9)).head()
+    assert(c0 == 0.0 && c1 == 1.0)
+  }
+
+  test("psiSketched/klSketched track the exact histogram PSI/KL on drifted data") {
+    // reference ~ U[0,1000); current = reference shifted right by 150
+    val ref = uniformDf(60000)
+    val cur = uniformDf(60000).select((col("v") + 150.0).as("v"))
+    val lo = 0.0; val hi = 1200.0; val bins = 12
+    val exactPsi = Drift.psi(
+      Drift.histogram(ref, "v", lo, hi, bins),
+      Drift.histogram(cur, "v", lo, hi, bins)).head().getDouble(0)
+    val sketchPsi = Drift.psiSketched(ref, cur, "v", lo, hi, bins).head().getDouble(0)
+    assert(exactPsi > 0.2, s"fixture should drift significantly, psi=$exactPsi")
+    assert(math.abs(sketchPsi - exactPsi) < 0.05 * math.max(1.0, exactPsi),
+      s"sketch $sketchPsi vs exact $exactPsi")
+    val exactKl = Drift.kl(
+      Drift.histogram(ref, "v", lo, hi, bins),
+      Drift.histogram(cur, "v", lo, hi, bins)).head().getDouble(0)
+    val sketchKl = Drift.klSketched(ref, cur, "v", lo, hi, bins).head().getDouble(0)
+    assert(math.abs(sketchKl - exactKl) < 0.05 * math.max(1.0, exactKl),
+      s"sketch $sketchKl vs exact $exactKl")
+  }
+
+  test("psiSketched ≈ 0 when the two snapshots share a distribution") {
+    val a = uniformDf(40000)
+    val b = uniformDf(40000).select((col("v") + 0.0).as("v"))
+    val p = Drift.psiSketched(a, b, "v", 0, 1000, 10).head().getDouble(0)
+    assert(math.abs(p) < 0.01, s"psi=$p")
+  }
+
   test("SQL surface: tdigest_sketch/tdigest_quantile resolve through the registry") {
     spark.range(1000).select((col("id") % 100).cast("double").as("v"))
       .createOrReplaceTempView("td_sql_in")
