@@ -956,6 +956,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "m05_video_meta" -> ((s, _) => {
+      import s.implicits._
+      // REAL video CONTAINER leg (the m03/m04 move applied to the last
+      // stubbed modality): deterministic MP4s are written box-by-box by
+      // syntheticMp4 and the metadata must come back through the ISO-BMFF
+      // box walk (moov/mvhd timescale+duration, moov/trak/tkhd 16.16
+      // width/height) — the oracle pins the generated values, so a stub
+      // or byte-sniffer cannot pass. One corrupt payload pins the
+      // explicit (-1,-1,-1) failure marker.
+      val scales = Array(600, 1000, 12288, 90000)
+      val rows = (0L until 40L).map { i =>
+        val w = 160 + (i % 8).toInt * 16
+        val h = 96 + (i % 5).toInt * 16
+        val ts = scales((i % 4).toInt)
+        val dur = (600 + (i * 37) % 1200).toInt
+        Multimodal.MediaRow(i, Multimodal.syntheticMp4(w, h, ts, dur, seed = i), "video/mp4")
+      } :+ Multimodal.MediaRow(999L, Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e'), "video/mp4")
+      Multimodal.extractVideoMeta(s.createDataset(rows)).toDF()
+        .select(col("doc_id"), col("mime"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
     "st03_stream_verdicts" -> ((s, dir) => {
       // ACTUAL streaming execution in the oracle gate: the events parquet is
       // replayed as a file-source stream (Trigger.AvailableNow, memory
@@ -2399,6 +2423,15 @@ object SparkEntry {
         | (100 + (i * 13) % 400)::BIGINT AS n_frames
         |FROM range(50) t(i)
         |UNION ALL SELECT 999, 'audio/wav', -1, -1, -1
+        |ORDER BY doc_id""".stripMargin,
+
+    "m05_video_meta" ->
+      """SELECT i AS doc_id, 'video/mp4' AS mime,
+        | (160 + (i % 8) * 16)::BIGINT AS width,
+        | (96 + (i % 5) * 16)::BIGINT AS height,
+        | ((600 + (i * 37) % 1200) * 1000 // ([600, 1000, 12288, 90000][(i % 4) + 1]))::BIGINT AS duration_ms
+        |FROM range(40) t(i)
+        |UNION ALL SELECT 999, 'video/mp4', -1, -1, -1
         |ORDER BY doc_id""".stripMargin,
 
     "st03_stream_verdicts" ->

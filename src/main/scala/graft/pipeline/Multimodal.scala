@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   * AUDIO header decode is REAL on its OWN typed path, `extractAudioMeta`
   * (`javax.sound.sampled` parses WAV/AIFF/AU sample rate, channels, frame
   * counts — audio metadata is not width/height-shaped, so it gets its own
-  * record). The deterministic `decodeStub` remains only where no JDK
-  * parser exists: VIDEO mimes (and audio rows mistakenly sent down the
-  * image-shaped path — route them to `extractAudioMeta` instead); swap it
-  * for an ffmpeg-style JNI codec without touching the distribution logic.
+  * record). VIDEO container metadata is REAL too, on its own typed path
+  * `extractVideoMeta` — a hand-rolled ISO-BMFF (MP4) box walk reads
+  * mvhd/tkhd width/height/duration from the actual bytes (container
+  * structure needs no codec). The deterministic `decodeStub` remains only
+  * for what genuinely needs codec libraries absent from this container:
+  * FRAME/pixel decode and non-MP4 video containers; swap it for an
+  * ffmpeg-style JNI codec without touching the distribution logic.
   */
 object Multimodal {
 
@@ -58,10 +61,11 @@ object Multimodal {
     * record carries width/height, which audio does not have — REAL audio
     * header decode lives on its own typed path, [[extractAudioMeta]] /
     * [[decodeAudio]], whose AudioMeta record carries sample-rate/channels/
-    * frames). With that audio path real, the stub is genuinely
-    * load-bearing only for VIDEO (no container/codec parser in the JDK);
-    * for audio it is a legacy width/height placeholder a mixed-corpus
-    * caller should not read — route audio rows to [[extractAudioMeta]]. */
+    * frames; likewise video rows → [[extractVideoMeta]], whose VideoMeta
+    * carries width/height/duration from the real MP4 box walk). With the
+    * audio and video paths real, the stub on THIS record is a legacy
+    * placeholder for mis-routed non-image rows — mixed-corpus callers
+    * should dispatch by mime to the typed paths. */
   def decode(row: MediaRow): MediaMeta =
     if (row.mime.startsWith("image/")) decodeImage(row) else decodeStub(row)
 
@@ -116,6 +120,137 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(stream,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  final case class VideoMeta(doc_id: Long, mime: String, n_bytes: Int,
+      width: Int, height: Int, duration_ms: Long, checksum: String)
+
+  /** REAL video CONTAINER metadata decode: a hand-rolled ISO-BMFF (MP4)
+    * box walk — `moov/mvhd` for timescale+duration, `moov/trak/tkhd` for
+    * the 16.16 fixed-point width/height. Pure byte arithmetic (big-endian
+    * reads; 64-bit `largesize` and version-1 boxes handled), so it needs
+    * no codec library — container metadata is structural, only FRAME
+    * decode needs ffmpeg-class codecs. Unparseable bytes yield
+    * `(-1, -1, -1)` — the explicit failure marker, never fake numbers.
+    * Checksum is the md5 of the raw bytes either way. */
+  def decodeVideo(row: MediaRow): VideoMeta = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(row.media)
+    val hex = md.map("%02x".format(_)).mkString
+    val (w, h, d) = parseMp4Meta(row.media)
+    VideoMeta(row.doc_id, row.mime, row.media.length, w, h, d, hex)
+  }
+
+  /** (width, height, duration_ms) from MP4 bytes, or (-1, -1, -1). */
+  private[pipeline] def parseMp4Meta(bytes: Array[Byte]): (Int, Int, Long) = {
+    val n = bytes.length
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    def be64(o: Int): Long = (be32(o) << 32) | be32(o + 4)
+    def typ(o: Int): String = new String(bytes, o + 4, 4, "US-ASCII")
+    // children of [start,end): (payloadStart, payloadEnd) per box type `t`,
+    // in order; malformed sizes stop the walk (caller falls to the marker)
+    def children(start: Int, end: Int, t: String): List[(Int, Int)] = {
+      var out = List.empty[(Int, Int)]
+      var o = start
+      var ok = true
+      while (ok && o + 8 <= end) {
+        var sz = be32(o)
+        var hdr = 8
+        if (sz == 1 && o + 16 <= end) { sz = be64(o + 8); hdr = 16 }
+        else if (sz == 0) sz = (end - o).toLong
+        if (sz < hdr || sz > Int.MaxValue || o + sz > end) ok = false
+        else {
+          if (typ(o) == t) out = (o + hdr, o + sz.toInt) :: out
+          o += sz.toInt
+        }
+      }
+      out.reverse
+    }
+    val fail = (-1, -1, -1L)
+    try {
+      children(0, n, "moov").headOption match {
+        case None => fail
+        case Some((ms, me)) =>
+          val durMs = children(ms, me, "mvhd").headOption.flatMap { case (p, pe) =>
+            val v = bytes(p) & 0xff
+            if (v == 0 && p + 20 <= pe) {
+              val ts = be32(p + 12); val d = be32(p + 16)
+              if (ts > 0) Some(d * 1000L / ts) else None
+            } else if (v == 1 && p + 32 <= pe) {
+              val ts = be32(p + 20); val d = be64(p + 24)
+              if (ts > 0) Some(d * 1000L / ts) else None
+            } else None
+          }
+          // first trak whose tkhd carries a nonzero width (video track;
+          // audio tracks store 0×0)
+          val dims = children(ms, me, "trak").iterator.flatMap { case (ts0, te) =>
+            children(ts0, te, "tkhd").headOption.flatMap { case (p, pe) =>
+              val v = bytes(p) & 0xff
+              val (wo, ho) = if (v == 1) (p + 88, p + 92) else (p + 76, p + 80)
+              if (ho + 4 <= pe) {
+                val w = (be32(wo) >> 16).toInt; val h = (be32(ho) >> 16).toInt
+                if (w > 0) Some((w, h)) else None
+              } else None
+            }
+          }.find(_ => true)
+          (dims, durMs) match {
+            case (Some((w, h)), Some(d)) => (w, h, d)
+            case _ => fail
+          }
+      }
+    } catch { case _: IndexOutOfBoundsException => fail }
+  }
+
+  /** [[extractMeta]]'s video twin: MP4 container metadata over partition
+    * batches (same lazy-iterator shape). */
+  def extractVideoMeta(ds: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decodeVideo))
+  }
+
+  /** Deterministic synthetic MP4: ftyp + moov(mvhd + one video trak(tkhd))
+    * + an mdat of `seed`-derived filler. Box sizes/offsets are written the
+    * way a real muxer writes them, so the metadata must come back through
+    * a real box walk. Test/oracle fixture — the oracle pins the generated
+    * width/height/duration. */
+  def syntheticMp4(width: Int, height: Int, timescale: Int, duration: Int,
+      seed: Long): Array[Byte] = {
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tpe: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8 + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    }
+    val unityMatrix = be32(0x00010000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000)
+    val mvhd = box("mvhd",
+      be32(0),                      // version 0 + flags
+      be32(0), be32(0),             // creation, modification
+      be32(timescale), be32(duration),
+      be32(0x00010000),             // rate 1.0
+      Array[Byte](0x01, 0x00, 0, 0), // volume 1.0 + reserved
+      be32(0), be32(0),             // reserved2
+      unityMatrix,
+      be32(0), be32(0), be32(0), be32(0), be32(0), be32(0), // pre_defined
+      be32(2))                      // next_track_id
+    val tkhd = box("tkhd",
+      be32(0x00000007),             // version 0, flags: enabled|in-movie|in-preview
+      be32(0), be32(0),             // creation, modification
+      be32(1), be32(0),             // track_id, reserved
+      be32(duration),
+      be32(0), be32(0),             // reserved
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0), // layer, alt_group, volume, reserved
+      unityMatrix,
+      be32(width << 16), be32(height << 16))
+    val trak = box("trak", tkhd)
+    val moov = box("moov", mvhd, trak)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(512),
+      "isomiso2mp41".getBytes("US-ASCII"))
+    val filler = Array.tabulate(32)(i => (((i * 131 + seed * 31 + 7) % 251) - 125).toByte)
+    ftyp ++ moov ++ box("mdat", filler)
   }
 
   /** Feature extraction over partition batches. The iterator is processed

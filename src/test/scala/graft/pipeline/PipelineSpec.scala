@@ -718,6 +718,48 @@ class PipelineSpec extends SparkSuite {
     assert(got(2).sample_rate === -1 && got(2).channels === -1 && got(2).n_frames === -1L)
   }
 
+  test("video metadata decode is REAL: MP4 box walk reads mvhd/tkhd back") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticMp4(320, 240, 90000, 1350, 3L), "video/mp4"),
+      Multimodal.MediaRow(2L, Multimodal.syntheticMp4(176, 144, 600, 601, 5L), "video/mp4"),
+      // a box-shaped but moov-less payload and raw garbage both → marker
+      Multimodal.MediaRow(3L, Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e'), "video/mp4"),
+      Multimodal.MediaRow(4L, Array[Byte](9, 9, 9), "video/mp4"))
+    val got = Multimodal.extractVideoMeta(spark.createDataset(rows)).collect().sortBy(_.doc_id)
+    assert(got(0).width === 320 && got(0).height === 240 && got(0).duration_ms === 15L)
+    assert(got(1).width === 176 && got(1).height === 144 && got(1).duration_ms === 1001L)
+    assert(got(2).duration_ms === -1L && got(3).width === -1)
+    // checksum is the md5 of the raw container bytes either way
+    assert(got(0).checksum.length === 32)
+  }
+
+  test("mp4 parser handles 64-bit largesize and version-1 mvhd/tkhd layouts") {
+    // structural variants a real muxer may emit: moov as a size==1
+    // largesize box, mvhd/tkhd in their version-1 (64-bit time) forms
+    def be32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32((v >> 32).toInt) ++ be32(v.toInt)
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ t.getBytes("US-ASCII") ++ body
+    def boxLarge(t: String, body: Array[Byte]): Array[Byte] =
+      be32(1) ++ t.getBytes("US-ASCII") ++ be64(16L + body.length) ++ body
+    val mvhd1 = box("mvhd", be32(0x01000000) ++ be64(0) ++ be64(0) ++
+      be32(48000) ++ be64(96000) ++ Array.fill[Byte](80)(0))
+    val tkhd1 = box("tkhd", be32(0x01000007) ++ be64(0) ++ be64(0) ++
+      be32(1) ++ be32(0) ++ be64(96000) ++ Array.fill[Byte](52)(0) ++
+      be32(1280 << 16) ++ be32(720 << 16))
+    val bytes = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      boxLarge("moov", mvhd1 ++ box("trak", tkhd1))
+    assert(Multimodal.parseMp4Meta(bytes) === ((1280, 720, 2000L)))
+    // truncations at every prefix length must fail cleanly, never throw
+    val base = Multimodal.syntheticMp4(640, 480, 1000, 2500, 1L)
+    assert(Multimodal.parseMp4Meta(base) === ((640, 480, 2500L)))
+    (0 until base.length by 7).foreach { n =>
+      Multimodal.parseMp4Meta(base.take(n))
+    }
+  }
+
   test("multimodal: frame sampling keeps every stride-th frame") {
     import spark.implicits._
     val media = Multimodal.fromText(docs.limit(5), "doc_id", "text")
