@@ -440,6 +440,74 @@ object SparkEntry {
         .orderBy("column")
     }),
 
+    "v48_route_match" -> ((s, dir) => {
+      // OpenAPI route dispatch as a TABLE op (OpenAPIv2.pm:120-145): each
+      // request row matches the most-specific template in the reference's
+      // weight order (static segments beat {placeholders} — '/orders/
+      // search' must hit searchOrders, not getOrder) and yields the
+      // extracted path params. One codegen'd coalesce(when(rlike)) chain,
+      // no joins; DuckDB rebuilds the expected dispatch from the request
+      // generator's formula, so a precedence or extraction slip breaks
+      // the hash.
+      import graft.pipeline.Routes
+      val routes = Seq(
+        Routes.Route("get", "/orders/{orderId}", "getOrder"),
+        Routes.Route("get", "/orders/{orderId}/items/{lineNumber}", "getItem"),
+        Routes.Route("get", "/orders/search", "searchOrders"),
+        Routes.Route("post", "/orders", "createOrder"),
+        Routes.Route("get", "/customers/{custId}", "getCustomer"))
+      val o = t(s, dir, "orders").where(col("o_orderkey") <= 2000)
+      val k = col("o_orderkey")
+      val req = o.select(k,
+        when(k % 6 === 0, lit("POST")).otherwise(lit("GET")).as("method"),
+        when(k % 6 === 0, lit("/orders"))
+          .when(k % 6 === 1, concat(lit("/orders/"), k.cast("string")))
+          .when(k % 6 === 2, concat(lit("/orders/"), k.cast("string"),
+            lit("/items/"), (k % 7).cast("string")))
+          .when(k % 6 === 3, lit("/orders/search"))
+          .when(k % 6 === 4, concat(lit("/customers/"), col("o_custkey").cast("string")))
+          .otherwise(concat(lit("/unknown/"), k.cast("string"))).as("req_path"))
+      Routes.matchRoutes(req, "method", "req_path", routes)
+        .select(k, col("method"), col("req_path"), col("route_path"),
+          col("operation_id"), Routes.paramsCanonical(col("params")).as("params"))
+        .orderBy("o_orderkey")
+    }),
+
+    "v49_route_request_validate" -> ((s, dir) => {
+      // validate_request's data half COMPOSED: route dispatch (v48) →
+      // path-param coercion (string → strict JSON number, Coerce/v12
+      // semantics) → rule validation of the coerced params, emitting the
+      // reference-shaped violation rows. The chain is where an off-by-one
+      // would hide: a wrong capture group or a lax coercion changes the
+      // violation set.
+      import graft.pipeline.Routes
+      val routes = Seq(
+        Routes.Route("get", "/orders/{orderId}", "getOrder"),
+        Routes.Route("get", "/orders/{orderId}/items/{lineNumber}", "getItem"))
+      val o = t(s, dir, "orders").where(col("o_orderkey") <= 4000)
+      val k = col("o_orderkey")
+      val req = o.select(k, lit("GET").as("method"),
+        when(k % 3 === 0, concat(lit("/orders/"), k.cast("string"),
+            lit("/items/"), (k % 10).cast("string")))
+          .otherwise(concat(lit("/orders/"), k.cast("string"))).as("req_path"))
+      val matched = Routes.matchRoutes(req, "method", "req_path", routes)
+      // extracted params are STRINGS (path segments); coerce to numbers
+      // the v12 way, then rule them: orderId ≤ 3000 everywhere; on the
+      // item route lineNumber ∈ [1, 7] (k % 10 generates 0 and 8/9, so
+      // both bounds fire)
+      val params = core.Coerce(
+        matched.where(col("route_path").isNotNull)
+          .select(k, col("params")("orderId").as("orderId"),
+            col("params")("lineNumber").as("lineNumber")),
+        Map("orderId" -> core.Coerce.ToNumber, "lineNumber" -> core.Coerce.ToNumber))
+      val rule = Properties(Seq(
+        "orderId" -> Maximum(3000),
+        "lineNumber" -> All(Seq(Minimum(1), Maximum(7)))))
+      Violations.validate(params, rule, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("path"), col("rule_id"), col("observed"))
+        .orderBy("o_orderkey", "path")
+    }),
+
     "v47_drift_sketched" -> ((s, dir) => {
       // north_star composed end to end: the t-digest as the STORED
       // snapshot artifact for distribution-drift checks — PSI/KL computed
@@ -1767,6 +1835,43 @@ object SparkEntry {
     "v03_unique_dup_keys" ->
       """SELECT l_orderkey, count(*) AS n_rows FROM lineitem
         |GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey""".stripMargin,
+
+    "v48_route_match" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_orderkey % 6 = 0 THEN 'POST' ELSE 'GET' END AS method,
+        | CASE o_orderkey % 6
+        |  WHEN 0 THEN '/orders'
+        |  WHEN 1 THEN '/orders/' || o_orderkey::VARCHAR
+        |  WHEN 2 THEN '/orders/' || o_orderkey::VARCHAR || '/items/' || (o_orderkey % 7)::VARCHAR
+        |  WHEN 3 THEN '/orders/search'
+        |  WHEN 4 THEN '/customers/' || o_custkey::VARCHAR
+        |  ELSE '/unknown/' || o_orderkey::VARCHAR END AS req_path,
+        | CASE o_orderkey % 6
+        |  WHEN 0 THEN '/orders' WHEN 1 THEN '/orders/{orderId}'
+        |  WHEN 2 THEN '/orders/{orderId}/items/{lineNumber}'
+        |  WHEN 3 THEN '/orders/search' WHEN 4 THEN '/customers/{custId}' END AS route_path,
+        | CASE o_orderkey % 6
+        |  WHEN 0 THEN 'createOrder' WHEN 1 THEN 'getOrder' WHEN 2 THEN 'getItem'
+        |  WHEN 3 THEN 'searchOrders' WHEN 4 THEN 'getCustomer' END AS operation_id,
+        | CASE o_orderkey % 6
+        |  WHEN 0 THEN '' WHEN 1 THEN 'orderId=' || o_orderkey::VARCHAR
+        |  WHEN 2 THEN 'lineNumber=' || (o_orderkey % 7)::VARCHAR || ',orderId=' || o_orderkey::VARCHAR
+        |  WHEN 3 THEN '' WHEN 4 THEN 'custId=' || o_custkey::VARCHAR END AS params
+        |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "v49_route_request_validate" ->
+      """WITH req AS (
+        | SELECT o_orderkey, CAST(o_orderkey AS DOUBLE) AS order_id,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey % 10 AS DOUBLE) END AS line_number
+        | FROM orders WHERE o_orderkey <= 4000)
+        |SELECT * FROM (
+        | SELECT o_orderkey, '/orderId' AS path, 'maximum' AS rule_id,
+        |        CAST(order_id AS VARCHAR) AS observed FROM req WHERE order_id > 3000
+        | UNION ALL SELECT o_orderkey, '/lineNumber', 'minimum',
+        |        CAST(line_number AS VARCHAR) FROM req WHERE line_number < 1
+        | UNION ALL SELECT o_orderkey, '/lineNumber', 'maximum',
+        |        CAST(line_number AS VARCHAR) FROM req WHERE line_number > 7
+        |) t ORDER BY o_orderkey, path""".stripMargin,
 
     "v47_drift_sketched" ->
       """WITH binned AS (
