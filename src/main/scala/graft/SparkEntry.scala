@@ -427,11 +427,20 @@ object SparkEntry {
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey")
       // rsd 0.01 (not the 0.05 default): the 5% verdict needs headroom —
       // at small cardinalities the default sketch's realized error can
-      // brush past its own rsd
-      val aggs = cols.flatMap(c => Seq(
-        count_distinct(col(c)).as(s"${c}__e"),
-        approx_count_distinct(col(c), 0.01).as(s"${c}__a")))
-      val row = t(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      // brush past its own rsd.
+      // The exact and approx sides run as SEPARATE aggregations stitched
+      // by a 1×1 crossJoin: mixing count_distinct with a non-distinct
+      // aggregate makes the distinct-rewrite's first phase (keyed on the
+      // distinct VALUES) carry the other aggregate's buffer per key group
+      // — at rsd 0.01 that is a 2¹⁴-register HLL PER DISTINCT KEY
+      // (measured 82 s vs 2.6 s at sf0.1). Split, each plan is clean:
+      // Expand for the exact trio, three global HLL buffers for the
+      // approx trio.
+      val li = t(s, dir, "lineitem")
+      val exactAggs = cols.map(c => count_distinct(col(c)).as(s"${c}__e"))
+      val approxAggs = cols.map(c => approx_count_distinct(col(c), 0.01).as(s"${c}__a"))
+      val row = li.agg(exactAggs.head, exactAggs.tail: _*)
+        .crossJoin(li.agg(approxAggs.head, approxAggs.tail: _*))
       val perCol = cols.map(c => struct(lit(c).as("column"),
         col(s"${c}__e").as("n_exact"),
         (abs(col(s"${c}__a") - col(s"${c}__e")).cast("double")
