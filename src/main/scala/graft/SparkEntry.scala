@@ -533,14 +533,17 @@ object SparkEntry {
       val cur = li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
       val (c, lo, hi, bins) = ("l_extendedprice", 900.0, 105000.0, 20)
       def hist(d: DataFrame) = Drift.histogram(d, c, lo, hi, bins)
-      // four 1-row aggregates; the crossJoins are 1×1 result stitching
+      // six 1-row aggregates; the crossJoins are 1×1 result stitching
       Drift.psi(hist(ref), hist(cur)).select(round(col("psi"), 6).as("psi_exact"))
         .crossJoin(Drift.kl(hist(ref), hist(cur)).select(round(col("kl"), 6).as("kl_exact")))
+        .crossJoin(Drift.js(hist(ref), hist(cur)).select(round(col("js"), 6).as("js_exact")))
         .crossJoin(Drift.psiSketched(ref, cur, c, lo, hi, bins).select(col("psi").as("psi_sk")))
         .crossJoin(Drift.klSketched(ref, cur, c, lo, hi, bins).select(col("kl").as("kl_sk")))
-        .select(col("psi_exact"), col("kl_exact"),
+        .crossJoin(Drift.jsSketched(ref, cur, c, lo, hi, bins).select(col("js").as("js_sk")))
+        .select(col("psi_exact"), col("kl_exact"), col("js_exact"),
           (abs(col("psi_sk") - col("psi_exact")) <= 0.01).as("psi_within_tol"),
-          (abs(col("kl_sk") - col("kl_exact")) <= 0.01).as("kl_within_tol"))
+          (abs(col("kl_sk") - col("kl_exact")) <= 0.01).as("kl_within_tol"),
+          (abs(col("js_sk") - col("js_exact")) <= 0.01).as("js_within_tol"))
     }),
 
     "v45_tdigest_quantiles" -> ((s, dir) => {
@@ -1896,7 +1899,8 @@ object SparkEntry {
         |      FROM r FULL OUTER JOIN c ON r.bin = c.bin)
         |SELECT round(sum((p - q) * ln(p / q)), 6) AS psi_exact,
         |       round(sum(p * ln(p / q)), 6) AS kl_exact,
-        |       TRUE AS psi_within_tol, TRUE AS kl_within_tol FROM j""".stripMargin,
+        |       round(sum(p * ln(p / ((p+q)/2)) * 0.5 + q * ln(q / ((p+q)/2)) * 0.5), 6) AS js_exact,
+        |       TRUE AS psi_within_tol, TRUE AS kl_within_tol, TRUE AS js_within_tol FROM j""".stripMargin,
 
     "v45_tdigest_quantiles" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")

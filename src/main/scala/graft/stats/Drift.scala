@@ -171,6 +171,16 @@ object Drift {
     digestProportions(reference, current, valueCol, lo, hi, bins, compression, eps)
       .agg(sum(col("p") * log(col("p") / col("q"))).as("kl"))
 
+  /** Jensen–Shannon divergence from two t-digest sketches — the bounded
+    * symmetric member, same shape as [[js]]. */
+  def jsSketched(reference: DataFrame, current: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int,
+      compression: Double = 300, eps: Double = 1e-6): DataFrame =
+    digestProportions(reference, current, valueCol, lo, hi, bins, compression, eps)
+      .select(col("p"), col("q"), ((col("p") + col("q")) / 2).as("m"))
+      .agg(sum(col("p") * log(col("p") / col("m")) * 0.5
+        + col("q") * log(col("q") / col("m")) * 0.5).as("js"))
+
   /** Drift verdict in the violation-row shape: fires when PSI exceeds
     * `threshold`. */
   def psiRule(reference: DataFrame, current: DataFrame, ruleId: String,

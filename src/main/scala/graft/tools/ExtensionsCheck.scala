@@ -25,7 +25,14 @@ object ExtensionsCheck {
         "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
       .head().getDouble(0)
     require(d == 11.0, s"bad dot: $d")
-    println(s"EXTOK ${counts.mkString(",")} dot=$d")
+    // t-digest family: sketch → quantile AND cdf, from pure SQL
+    val Array(q, c) = spark.sql(
+      "SELECT tdigest_quantile(td, CAST(0.5 AS DOUBLE)) AS q, " +
+        "tdigest_cdf(td, CAST(50 AS DOUBLE)) AS c FROM " +
+        "(SELECT tdigest_sketch(CAST(id AS DOUBLE), CAST(100 AS DOUBLE)) AS td FROM nums)")
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    require(math.abs(q - 49.5) < 2 && math.abs(c - 0.5) < 0.05, s"bad tdigest: q=$q c=$c")
+    println(s"EXTOK ${counts.mkString(",")} dot=$d tdigest_q50=$q tdigest_cdf50=$c")
     spark.stop()
   }
 }

@@ -146,6 +146,14 @@ class TDigestSpec extends SparkSuite {
     val sketchKl = Drift.klSketched(ref, cur, "v", lo, hi, bins).head().getDouble(0)
     assert(math.abs(sketchKl - exactKl) < 0.05 * math.max(1.0, exactKl),
       s"sketch $sketchKl vs exact $exactKl")
+    val exactJs = Drift.js(
+      Drift.histogram(ref, "v", lo, hi, bins),
+      Drift.histogram(cur, "v", lo, hi, bins)).head().getDouble(0)
+    val sketchJs = Drift.jsSketched(ref, cur, "v", lo, hi, bins).head().getDouble(0)
+    assert(math.abs(sketchJs - exactJs) < 0.05 * math.max(1.0, exactJs),
+      s"sketch $sketchJs vs exact $exactJs")
+    // JS is bounded by ln 2 — both forms respect it
+    assert(sketchJs >= 0 && sketchJs <= math.log(2.0) + 1e-9)
   }
 
   test("psiSketched ≈ 0 when the two snapshots share a distribution") {
