@@ -1108,6 +1108,44 @@ object SparkEntry {
         .orderBy("window_start")
     }),
 
+    "st06_stream_quantile_digest" -> ((s, dir) => {
+      // the t-digest as a STREAMING sketch (same replay harness as
+      // st03-st05): one digest row per closed 4-hour window. The digest
+      // bytes are merge-order-dependent, so the oracle pins the portable
+      // pair — the EXACT non-null row count per window (the digest's
+      // conserved weight) and the claim that the windowed median estimate
+      // landed within rank tolerance of the window's own distribution
+      // (v45's interval form: lt/n − tol ≤ 0.5 ≤ le/n + tol, so discrete
+      // atoms are judged fairly). tol = max(0.02, 2/n): quantile()
+      // interpolates BETWEEN points, so a tiny window's estimate can
+      // legitimately sit up to ~1/(2n) past the midpoint rank (twice that
+      // when equal values merged into one centroid) — without the n-term
+      // a marginal small window could flip on merge order and flake the
+      // gate. The rank counters come from a batch pass over the same
+      // events joined to the BROADCAST window table.
+      graft.functions.TDigestSketch.register(s)
+      val stream = stagedEventStream(s, dir, "st06_events")
+      val digests = runToMemorySink(s, graft.streaming.StreamingValidate
+          .windowedQuantileDigest(stream, "ts", "value", "4 hours", "30 minutes"),
+          "st06_sink")
+        .select(col("window_start").cast("long").as("window_start"),
+          graft.functions.TDigestSketch.tdigestQuantile(col("digest"), 0.5).as("med"))
+      val ev = t(s, dir, "events").where(col("value").isNotNull)
+        .select((floor(unix_timestamp(col("ts")) / 14400) * 14400).cast("long")
+          .as("window_start"), col("value"))
+      val tol = greatest(lit(0.02), lit(2.0) / col("n_rows"))
+      ev.join(broadcast(digests), "window_start")
+        .groupBy("window_start")
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("value") < col("med")).cast("long")).as("lt"),
+          sum((col("value") <= col("med")).cast("long")).as("le"))
+        .select(col("window_start"), col("n_rows"),
+          (col("lt").cast("double") / col("n_rows") - tol <= 0.5 &&
+            lit(0.5) <= col("le").cast("double") / col("n_rows") + tol)
+            .as("median_within_rank_tol"))
+        .orderBy("window_start")
+    }),
+
     "st01_stream_window_batch" -> ((s, dir) =>
       // batch-equivalent of the Structured Streaming tumbling-window query
       // (the streaming path itself is exercised in StreamingSpec)
@@ -2561,6 +2599,17 @@ object SparkEntry {
         |SELECT ws AS window_start, count(*) AS n_rows, sum(failed)::BIGINT AS n_failed,
         | CASE WHEN sum(failed) = 0 THEN 'pass' ELSE 'fail' END AS verdict
         |FROM w, mx WHERE ws + 3600 <= epoch(m) - 1800
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "st06_stream_quantile_digest" ->
+      // closed-window predicate as st03/st04; the engine-side rank verdict
+      // must be TRUE for every window
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |w AS (SELECT CAST(floor(epoch(ts)/14400) AS BIGINT)*14400 AS ws
+        |      FROM events WHERE value IS NOT NULL)
+        |SELECT ws AS window_start, count(*) AS n_rows,
+        |       TRUE AS median_within_rank_tol
+        |FROM w, mx WHERE ws + 14400 <= epoch(m) - 1800
         |GROUP BY ws ORDER BY ws""".stripMargin,
 
     "st05_stream_violation_samples" ->

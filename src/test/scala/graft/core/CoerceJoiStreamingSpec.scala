@@ -216,6 +216,61 @@ class CoerceJoiStreamingSpec extends SparkSuite {
     assert(math.abs(direct - byGroup) < 1e-9)
   }
 
+  test("streaming windowed t-digest: weight-exact counts, medians track batch within rank tol") {
+    // the quantile-monitor contract behind st06: one digest per closed
+    // window; conserved weight == the window's exact non-null count, and
+    // the streamed median agrees with the BATCH digest of the same rows
+    // within the sketch's rank error (bytes differ by merge order — the
+    // contract is estimates, not bytes)
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    graft.functions.TDigestSketch.register(spark)
+
+    val q = StreamingValidate.windowedQuantileDigest(stream, "ts", "value",
+        "1 hour", "1 minute")
+      .writeStream.format("memory").queryName("sdig_e2e")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sdig_e2e")
+      .select(col("window_start").cast("long").as("grp"),
+        aggregate(col("digest.centroids"), lit(0.0d),
+          (acc, c) => acc + c.getField("weight")).as("w"),
+        graft.functions.TDigestSketch.tdigestQuantile(col("digest"), 0.5).as("med"))
+    assert(streamed.count() > 100)
+
+    val grouped = batch.where(col("value").isNotNull)
+      .withColumn("grp", (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("long"))
+    val exact = grouped.groupBy("grp").agg(
+      count(lit(1)).as("n"),
+      expr("percentile(value, 0.5D)").as("med_exact"))
+    val joined = streamed.join(exact, "grp")
+      .select(col("grp"), col("w"), col("n").cast("double").as("n"),
+        col("med"), col("med_exact"))
+      .collect()
+    joined.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2), s"weight vs count at ${r.getLong(0)}")
+    }
+    // rank check of the streamed median against the window's rows. The
+    // tolerance is max(0.02, 1/(2n)): quantile() interpolates BETWEEN
+    // data points, so on a tiny window the estimate's rank legitimately
+    // overshoots by up to half a sample (sf0.001 has 3-row windows).
+    val meds = streamed.select("grp", "med")
+    val ranks = grouped.join(broadcast(meds), "grp").groupBy("grp")
+      .agg((sum((col("value") < col("med")).cast("long")) / count(lit(1))).as("lo"),
+        (sum((col("value") <= col("med")).cast("long")) / count(lit(1))).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    ranks.foreach { r =>
+      val tol = math.max(0.02, 0.5 / r.getLong(3) + 1e-9)
+      assert(r.getDouble(1) - tol <= 0.5 && 0.5 <= r.getDouble(2) + tol,
+        s"median rank off at ${r.getLong(0)}: [${r.getDouble(1)}, ${r.getDouble(2)}] n=${r.getLong(3)}")
+    }
+  }
+
   test("streaming referential violations equal the batch anti-join (stream-static)") {
     // the referential rule class on a stream: the same broadcast anti-join
     // against the static dimension, micro-batch by micro-batch
