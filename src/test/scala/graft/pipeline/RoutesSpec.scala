@@ -34,6 +34,41 @@ class RoutesSpec extends SparkSuite {
     assert(sorted.indexOf(("get", "/health")) < sorted.indexOf(("post", "/pets")))
   }
 
+  test("sortedRoutes reproduces t/openapiv2-routes.t's expected order verbatim") {
+    // the reference's own 13-route fixture (t/openapiv2-routes.t:8-42),
+    // exercising every tiebreak: depth, static-vs-placeholder at each
+    // position, and path-ascending among equal weights
+    val fixture = Seq(
+      Routes.Route("get", "/a1"),
+      Routes.Route("post", "/a1/bbbbbbb2/{c3}"),
+      Routes.Route("put", "/a1/bbbbbbbbbbbbbbbbbbbb2/{ccc3}"),
+      Routes.Route("get", "/a1/xxxxxxxxx/{ccc3}"),
+      Routes.Route("post", "/a1/{b2}/{ccc3}/{d4}"),
+      Routes.Route("get", "/a1/{bb2}/{c3}/d"),
+      Routes.Route("put", "/a1/{bb2}/{ccc3}/{dddd4}/{e5}"),
+      Routes.Route("get", "/a1/{bbbb2}/{cc3}"),
+      Routes.Route("post", "/aa1/bbb2/{c3}"),
+      Routes.Route("get", "/aaa1/bb2"),
+      Routes.Route("put", "/aaa2"),
+      Routes.Route("get", "/{aaa1}/{bb2}/{ccc3}"),
+      Routes.Route("delete", "/{x}"))
+    val expected = Seq(
+      "/a1/{bb2}/{ccc3}/{dddd4}/{e5}",
+      "/a1/{bb2}/{c3}/d",
+      "/a1/{b2}/{ccc3}/{d4}",
+      "/a1/bbbbbbb2/{c3}",
+      "/a1/bbbbbbbbbbbbbbbbbbbb2/{ccc3}",
+      "/a1/xxxxxxxxx/{ccc3}",
+      "/aa1/bbb2/{c3}",
+      "/a1/{bbbb2}/{cc3}",
+      "/{aaa1}/{bb2}/{ccc3}",
+      "/aaa1/bb2",
+      "/a1",
+      "/aaa2",
+      "/{x}")
+    assert(Routes.sortedRoutes(fixture).map(_.path) === expected)
+  }
+
   test("matchRoutes: precedence, extraction, method case, unmatched → nulls") {
     val req = Seq(
       (1L, "GET", "/pets/42"),
