@@ -167,7 +167,7 @@ object RulePack {
       catch { case _: Exception => ref }
   }
 
-  private def stripFragment(uri: String): String = {
+  private[rulepack] def stripFragment(uri: String): String = {
     val i = uri.indexOf('#')
     if (i < 0) uri else uri.take(i)
   }
@@ -223,7 +223,7 @@ object RulePack {
     * [[propertyDefaults]] (default extraction): root-id validation,
     * `$id`/`$anchor` registration of the entry and store documents, and
     * `$ref`-target lookup. */
-  private final class Resolver(root: JValue, store: Store) {
+  private[rulepack] final class Resolver(root: JValue, store: Store) {
     // root id validation + entry base (reference Schema.pm id contract:
     // t/id-keyword-draft4.t "Fragment not allowed"/"Relative URL not
     // allowed")

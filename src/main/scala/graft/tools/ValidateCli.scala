@@ -34,7 +34,14 @@ object ValidateCli {
 
     // format-sniffed: JSON or YAML packs both load (Util.pm:163-167)
     val packText = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(packPath)), "UTF-8")
-    val rule = RulePack.parseAny(packText)
+    val packDoc = graft.core.JValue.parseAny(packText)
+    // meta-schema gate first (load_and_validate_schema, Validator.pm:53-64):
+    // a malformed pack fails HERE, before any cluster job launches
+    val specErrs = graft.rulepack.JsonValidate.schemaErrors(packDoc)
+    if (specErrs.nonEmpty)
+      throw new IllegalArgumentException(
+        ("Invalid JSON specification" +: specErrs.map(e => s"- $e")).mkString("\n"))
+    val rule = RulePack.fromJson(packDoc)
     val df = spark.read.parquet(table)
 
     // driver-side pre-flight (is_invalid analog): structural problems +
