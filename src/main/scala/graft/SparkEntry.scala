@@ -1194,6 +1194,20 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    "s08_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup: 16 deterministic cells bound the pairwise comparison;
+      // injected duplicate copies (+100000, +200000) plant known 3-member
+      // semantic groups whose keeper must be the original id
+      val emb = t(s, dir, "embeddings")
+      val tri = emb
+        .unionByName(emb.withColumn("vec_id", col("vec_id") + lit(100000L)))
+        .unionByName(emb.withColumn("vec_id", col("vec_id") + lit(200000L)))
+      Similarity.semanticDedupGroups(tri, "vec_id", "embedding",
+          nlist = 16, tau = 0.6)
+        .select(col("id").as("vec_id"), col("component"), col("keep"))
+        .orderBy("vec_id")
+    }),
+
     "st02_stream_drift" -> ((s, dir) =>
       // windowed drift monitor (batch twin of the streaming histogram path):
       // PSI of each hourly window's value distribution vs the whole corpus
@@ -2737,6 +2751,39 @@ object SparkEntry {
          |  UNION
          |  SELECT bi.dst, reach.lab FROM reach JOIN bi ON bi.src = reach.node)
          |SELECT node AS vec_id, min(lab) AS component FROM reach
+         |GROUP BY node ORDER BY vec_id""".stripMargin,
+
+    "s08_semantic_dedup" ->
+      // same cell assignment as s04's quantizer (16 lowest-id centroids,
+      // best affinity, ties to smallest cid), within-cell cosine >= 0.6,
+      // recursive closure; keep = node == its group minimum
+      s"""WITH RECURSIVE e0 AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 200000, embedding FROM embeddings),
+         |v AS (SELECT vec_id AS id, embedding AS vec,
+         |  sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+         |    i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE), 'sum')) AS nrm FROM e0),
+         |c AS (SELECT id AS cid, vec AS cvec, nrm AS cnrm FROM v ORDER BY id LIMIT 16),
+         |aff AS (SELECT id, vec, nrm, cid,
+         |  list_aggregate(list_transform(range(1, len(vec) + 1),
+         |    i -> vec[i]::DOUBLE * cvec[i]::DOUBLE), 'sum') / nullif(nrm * cnrm, 0) AS aff
+         |  FROM v CROSS JOIN c),
+         |assigned AS (SELECT id, vec, nrm, cid AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY aff DESC, cid) AS rn FROM aff) t
+         |  WHERE rn = 1),
+         |pairs AS (SELECT a.id AS id_a, bb.id AS id_b,
+         |  list_aggregate(list_transform(range(1, len(a.vec) + 1),
+         |    i -> a.vec[i]::DOUBLE * bb.vec[i]::DOUBLE), 'sum') / nullif(a.nrm * bb.nrm, 0) AS cosine
+         |  FROM assigned a JOIN assigned bb ON a.cell = bb.cell AND a.id < bb.id),
+         |sel AS (SELECT id_a, id_b FROM pairs WHERE cosine >= 0.6),
+         |bi AS (SELECT id_a AS src, id_b AS dst FROM sel
+         |       UNION ALL SELECT id_b, id_a FROM sel),
+         |reach AS (
+         |  SELECT src AS node, src AS lab FROM bi
+         |  UNION
+         |  SELECT bi.dst, reach.lab FROM reach JOIN bi ON bi.src = reach.node)
+         |SELECT node AS vec_id, min(lab) AS component,
+         |  node = min(lab) AS keep FROM reach
          |GROUP BY node ORDER BY vec_id""".stripMargin,
 
     "st02_stream_drift" ->

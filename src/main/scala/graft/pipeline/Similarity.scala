@@ -440,4 +440,57 @@ object Similarity {
     Dedup.connectedComponentsStar(
       nearDupPairsLsh(df, idCol, vecCol, minCosine, tables, bitsPerTable,
         maxBucketSize, dims).select(col("id_a"), col("id_b")))
+
+  /** SemDeDup-style SEMANTIC dedup (public method: Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — cluster embeddings, compare pairwise only WITHIN a
+    * cluster, drop all but one member of each semantic-duplicate group):
+    * the embedding-space twin of the MinHash group collapse
+    * ([[graft.pipeline.Dedup.minhashComponents]]), catching paraphrases
+    * and re-renders that share no shingles.
+    *
+    * Plan shape at corpus scale: one broadcast-assign pass (shuffle carries
+    * N rows — [[ivfAssign]]'s map-side-combined groupBy), one shuffle join
+    * on the cell key for the within-cell pairs, then the O(log diameter)
+    * star-contraction rounds. The quadratic term is Σ|cell|², bounded by
+    * construction (nlist sized so |cell| ≈ N/nlist; SemDeDup runs 50k
+    * clusters at web scale) and fenced by `maxCellSize` — an over-full
+    * cell (all-zero embeddings collapsing onto one centroid) is dropped
+    * via a BROADCAST anti-join instead of pinning one reducer with
+    * |cell|² rows; audit dropped cells with [[ivfCellStats]].
+    *
+    * Output: `(id, component, keep)` for every vector in ≥ 1 semantic
+    * pair — `component` is the group's minimum id, `keep` marks the
+    * representative (the caller's anti-join list is `keep = false`).
+    * Deterministic given `centroids` (defaults to the engine-portable
+    * [[ivfCentroids]] pick; plug [[ivfCentroidsTrained]] in at scale).
+    *
+    * Recall caveat (inherent to the method, SemDeDup §2): a near-dup group
+    * straddling a cell boundary is missed — most acutely when the
+    * quantizer itself contains near-identical centroids, which shatters
+    * the very groups being hunted. Use a diverse/trained quantizer. */
+  def semanticDedupGroups(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, tau: Double, centroids: Option[DataFrame] = None,
+      maxCellSize: Option[Int] = None): DataFrame = {
+    val cents = centroids.getOrElse(ivfCentroids(df, idCol, vecCol, nlist))
+    val assigned0 = ivfAssign(df, idCol, vecCol, cents)
+    val assigned = maxCellSize match {
+      case Some(cap) =>
+        val big = assigned0.groupBy("cell").agg(count(lit(1)).as("n"))
+          .where(col("n") > cap).select("cell")
+        assigned0.join(broadcast(big), Seq("cell"), "left_anti")
+      case None => assigned0
+    }
+    val lhs = assigned.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("__va"), col("nrm").as("__na"))
+    val rhs = assigned.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("__vb"), col("nrm").as("__nb"))
+    val pairs = lhs.join(rhs, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("__va"), col("__vb")) / nullif(col("__na") * col("__nb"), lit(0.0))).as("cosine"))
+      .where(col("cosine") >= tau)
+    Dedup.connectedComponentsStar(pairs.select(col("id_a"), col("id_b")))
+      .withColumn("keep", col("id") === col("component"))
+  }
 }

@@ -161,6 +161,14 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("s08 semantic dedup: cell-keyed pair join, no unbroadcast cartesian") {
+    // the only nested-loop is the N×nlist assignment against the BROADCAST
+    // centroid set (s04's pattern); the quadratic pair stage must ride the
+    // cell-keyed equi-join
+    val plan = planString(SparkEntry.queries("s08_semantic_dedup")(spark, dir))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("v26 verdict-by-partition scan reads only the pack's columns + the partition key") {
     // the pack references (lang, n_chars) and partitions by source — the
     // documents scan must NOT decode text/tokens (the bandwidth wall); this

@@ -250,4 +250,42 @@ class SessionsDriftGatesSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
+
+  test("semanticDedupGroups: planted groups collapse, keeper = min id, loners drop out") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() - 0.5f)
+    }
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + eps * (if (i % 2 == 0) 1 else -1) * 0.001f }
+    val a = vec(7); val b = vec(8); val c = vec(9)
+    val df = Seq(
+      (1L, a), (2L, jitter(a, 1)), (3L, jitter(a, 2)), // semantic triplet
+      (10L, b), (11L, jitter(b, 1)),                   // pair
+      (20L, c)                                          // loner
+    ).toDF("vec_id", "embedding")
+    // diverse quantizer: one centroid per direction (the default lowest-id
+    // pick would seed three near-identical centroids and shatter the
+    // triplet across cells — the quantizer-granularity recall loss the
+    // scaladoc warns about)
+    val cents = Similarity.ivfCentroids(
+      df.where(col("vec_id").isin(1L, 10L, 20L)), "vec_id", "embedding", nlist = 3)
+    val got = Similarity.semanticDedupGroups(df, "vec_id", "embedding",
+        nlist = 3, tau = 0.99, centroids = Some(cents))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got === Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
+  test("semanticDedupGroups maxCellSize drops over-full cells from the quadratic join") {
+    // 30 copies of one direction saturate a cell; the cap excises it
+    val base = Array.fill(8)(0.5f)
+    val df = (1L to 30L).map(i => (i, base.clone())).toDF("vec_id", "embedding")
+    val capped = Similarity.semanticDedupGroups(df, "vec_id", "embedding",
+      nlist = 2, tau = 0.9, maxCellSize = Some(10))
+    assert(capped.count() === 0) // the single hot cell was dropped entirely
+    val uncapped = Similarity.semanticDedupGroups(df, "vec_id", "embedding",
+      nlist = 2, tau = 0.9)
+    assert(uncapped.count() === 30)
+  }
 }
