@@ -1375,6 +1375,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p34_url_dedup" -> ((s, _) => {
+      import s.implicits._
+      // C4-style URL-keyed dedup on inline fixtures (the corpus carries no
+      // URL column): scheme-agnostic canonicalization (www./port/query/
+      // fragment/trailing-slash stripped, host lowercased), lowest-id
+      // keeper per canonical URL, NULL urls keep themselves
+      val urls = Seq(
+        (1L, "https://WWW.Example.com:443/a/b/?utm=1#frag"),
+        (2L, "http://example.com/a/b"),
+        (3L, "https://example.com/a/b/"),
+        (4L, "http://other.org"),
+        (5L, "HTTP://www.other.org/"),
+        (6L, null.asInstanceOf[String]),
+        (7L, "ftp://example.com/a/b"),
+        (8L, "http://example.com/a/b?x=1&y=2")).toDF("doc_id", "url")
+      TextAnalysis.urlDedup(urls, "doc_id", "url")
+        .select(col("id").as("doc_id"), col("url_norm"), col("keep_id"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     "p26_temperature_mixture" -> ((s, dir) =>
       // multinomial source rebalancing: keep-rates ∝ c^α·budget/c at
       // α = 0.5 (IEEE sqrt — bit-reproducible in both engines), rounded to
@@ -1426,6 +1446,19 @@ object SparkEntry {
       Dedup.blockDedupStats(docs.unionByName(dup), "doc_id", "text", w = 10)
         .select(col("id").as("doc_id"), col("n_blocks"), col("n_dup_blocks"),
           round(col("dup_frac"), 6).as("dup_frac6"))
+        .orderBy("doc_id")
+    }),
+
+    "p35_block_dedup_apply" -> ((s, dir) => {
+      // corpus-wide block dedup APPLIED (tail partial block included so
+      // unique text reassembles losslessly); injected full copies (ids
+      // +100000) must come back fully emptied; md5 pins every cleaned text
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val dup = docs.where(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+      Dedup.dedupBlocksAcrossCorpus(docs.unionByName(dup), "doc_id", "text", w = 10)
+        .select(col("id").as("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_blocks"), col("n_blocks_kept"))
         .orderBy("doc_id")
     }),
 
@@ -3007,6 +3040,37 @@ object SparkEntry {
         | coalesce(nb, 0)::BIGINT AS n_blocked_urls, coalesce(nb, 0) > 0 AS blocked
         |FROM docs LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    "p34_url_dedup" ->
+      // identical canonicalization steps: scheme off, host lowered with
+      // www./port stripped, query/fragment off, trailing slashes trimmed
+      """WITH urls(doc_id, url) AS (VALUES
+        |  (1, 'https://WWW.Example.com:443/a/b/?utm=1#frag'),
+        |  (2, 'http://example.com/a/b'),
+        |  (3, 'https://example.com/a/b/'),
+        |  (4, 'http://other.org'),
+        |  (5, 'HTTP://www.other.org/'),
+        |  (6, NULL),
+        |  (7, 'ftp://example.com/a/b'),
+        |  (8, 'http://example.com/a/b?x=1&y=2')),
+        |s1 AS (SELECT doc_id,
+        |  regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\-]*://', '') AS ns FROM urls),
+        |s2 AS (SELECT doc_id, ns, string_split(ns, '/')[1] AS hostraw FROM s1),
+        |s3 AS (SELECT doc_id,
+        |  regexp_replace(string_split(lower(hostraw), ':')[1], '^www\.', '') AS host,
+        |  substr(ns, length(hostraw) + 1) AS pathraw FROM s2),
+        |n AS (SELECT urls.doc_id::BIGINT AS doc_id,
+        |  CASE WHEN urls.url IS NULL THEN NULL ELSE
+        |    s3.host || regexp_replace(
+        |      string_split(string_split(s3.pathraw, '?')[1], '#')[1], '/+$', '')
+        |  END AS url_norm
+        | FROM urls LEFT JOIN s3 USING (doc_id)),
+        |w AS (SELECT url_norm, min(doc_id) AS keep_id FROM n
+        |      WHERE url_norm IS NOT NULL GROUP BY 1)
+        |SELECT n.doc_id, n.url_norm,
+        | coalesce(w.keep_id, n.doc_id)::BIGINT AS keep_id,
+        | n.doc_id = coalesce(w.keep_id, n.doc_id) AS keep
+        |FROM n LEFT JOIN w USING (url_norm) ORDER BY doc_id""".stripMargin,
+
     "p26_temperature_mixture" ->
       // z summed over lang-sorted weights (list_aggregate of an ORDERed
       // list) so the float fold matches the driver's sorted fold exactly
@@ -3086,6 +3150,31 @@ object SparkEntry {
         | sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_blocks,
         | round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS dup_frac6
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p35_block_dedup_apply" ->
+      // tail-inclusive blocks (DuckDB list slicing clamps at the end like
+      // Spark's slice), first occurrence per block under (doc_id, bidx),
+      // ordered reassembly; dedup keys on the block TEXT (the engine's md5
+      // fingerprint is collision-free at 128 bits)
+      """WITH all_docs AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 100),
+        |d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |  x -> len(x) > 0) AS ws FROM all_docs),
+        |b AS (SELECT doc_id, i AS bidx,
+        |  array_to_string(ws[i*10+1 : i*10+10], ' ') AS block
+        | FROM d CROSS JOIN unnest(range(0, (len(ws) + 9) // 10)) t(i)
+        | WHERE len(ws) > 0),
+        |r AS (SELECT doc_id, bidx, block,
+        |  row_number() OVER (PARTITION BY block ORDER BY doc_id, bidx) AS rn FROM b),
+        |tot AS (SELECT doc_id, count(*) AS n_blocks FROM b GROUP BY doc_id),
+        |reb AS (SELECT doc_id,
+        |  string_agg(block, ' ' ORDER BY bidx) AS clean_text,
+        |  count(*) AS n_blocks_kept
+        | FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT tot.doc_id, md5(coalesce(reb.clean_text, '')) AS clean_md5,
+        | tot.n_blocks::BIGINT AS n_blocks,
+        | coalesce(reb.n_blocks_kept, 0)::BIGINT AS n_blocks_kept
+        |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "p23_seq_packing" ->
       """WITH t AS (SELECT doc_id,

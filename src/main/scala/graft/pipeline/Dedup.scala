@@ -657,6 +657,15 @@ object Dedup {
     filter(joined, (x, i) => x.isNotNull && pmod(i, lit(w)) === 0)
   }
 
+  /** [[wordBlocks]] including the trailing PARTIAL block — the lossless
+    * form a reassembling transformation needs (`slice` clamps at the array
+    * end, so the tail block simply comes out shorter). */
+  private def wordBlocksWithTail(ws: Column, w: Int): Column =
+    when(size(ws) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(ws) - lit(1)) / w).cast("int")),
+        i => array_join(slice(ws, i * w + 1, lit(w)), " ")))
+
   /** Block-level exact dedup (the RefinedWeb/CCNet "line dedup" family at
     * block granularity): every w-word block is hashed and the corpus keeps
     * its FIRST occurrence under the total order (doc_id, block_idx); later
@@ -724,6 +733,50 @@ object Dedup {
         (col("n_blocks") - coalesce(col("n_keep"), lit(0L))).as("n_dup_blocks"))
       .withColumn("dup_frac",
         col("n_dup_blocks").cast("double") / col("n_blocks").cast("double"))
+  }
+
+  /** CORPUS-WIDE first-occurrence block dedup, APPLIED — the
+    * transformation leg of [[blockDedupStats]] (RefinedWeb/CCNet line
+    * dedup actually removing the duplicates, not just measuring them):
+    * every w-word block (tail partial included — reassembly must be
+    * lossless for unique text) keeps only its corpus-wide first occurrence
+    * under the total order (doc id, block idx); the survivors reassemble
+    * in original order. Output `(id, clean_text, n_blocks, n_blocks_kept)`
+    * — a doc whose every block occurred earlier comes back with
+    * `clean_text = ''` (the drop decision belongs to the caller);
+    * word-free docs emit nothing, like [[dropRepeatedBlocksInDoc]].
+    *
+    * Scale shape: the winner per distinct block is ONE partial-aggregated
+    * `groupBy(hash)` whose min-struct PAYLOAD carries the block text, so
+    * there is NO join against the occurrence stream and NO window — a
+    * boilerplate block occurring 10⁹ times collapses map-side exactly as
+    * in [[blockDedupStats]]' two-phase min, and reassembly reads the
+    * winners table only (one row per DISTINCT block). The only
+    * per-occurrence shuffle is the per-doc totals counter; the hashed
+    * occurrence triples materialize once (`localCheckpoint`, the shared
+    * [[blockStats]] pattern). */
+  def dedupBlocksAcrossCorpus(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    val blocks = df
+      .select(col(idCol).as("id"), TextAnalysis.words(col(textCol)).as("__ws"))
+      .select(col("id"),
+        posexplode(wordBlocksWithTail(col("__ws"), w)).as(Seq("block_idx", "block")))
+      .withColumn("h", TextAnalysis.fingerprint(col("block")))
+      .localCheckpoint()
+    val perDoc = blocks.groupBy("id").agg(count(lit(1)).as("n_blocks"))
+    val winners = blocks
+      .groupBy("h")
+      .agg(min(struct(col("id"), col("block_idx"), col("block"))).as("f"))
+      .select(col("f.id").as("id"), col("f.block_idx").as("block_idx"),
+        col("f.block").as("block"))
+    val rebuilt = winners.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("block_idx"), col("block")))).as("kb"))
+      .select(col("id"),
+        array_join(transform(col("kb"), b => b.getField("block")), " ").as("clean_text"),
+        size(col("kb")).cast("long").as("n_blocks_kept"))
+    perDoc.join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_blocks"), coalesce(col("n_blocks_kept"), lit(0L)).as("n_blocks_kept"))
   }
 
   /** IN-DOCUMENT repeated-block removal — the TRANSFORMATION leg of

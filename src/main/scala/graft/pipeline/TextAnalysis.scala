@@ -239,6 +239,39 @@ object TextAnalysis {
       .withColumn("blocked", col("n_blocked_urls") > 0)
   }
 
+  /** C4-style URL canonicalization for URL-keyed dedup (the C4 paper
+    * dedups pages by normalized URL before text dedup): scheme dropped
+    * (http ≡ https), host lowercased with `www.` and the port stripped,
+    * query + fragment dropped, trailing slashes trimmed. Pure codegen'd
+    * string ops — rides the scan. NULL in → NULL out. */
+  def urlNormalize(url: Column): Column = {
+    val noScheme = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.\\-]*://", "")
+    val hostRaw = substring_index(noScheme, "/", 1)
+    val host = regexp_replace(
+      substring_index(lower(hostRaw), ":", 1), "^www\\.", "")
+    val pathRaw = noScheme.substr(length(hostRaw) + lit(1), length(noScheme))
+    val path = regexp_replace(
+      substring_index(substring_index(pathRaw, "?", 1), "#", 1), "/+$", "")
+    concat(host, path)
+  }
+
+  /** URL-keyed exact dedup — the C4 crawl-dedup step ahead of any text
+    * comparison: documents sharing a normalized URL collapse to the
+    * lowest-id keeper. Two-phase shape: a partial-aggregated
+    * `groupBy(url_norm).agg(min(id))` (hot URLs collapse map-side) joined
+    * back on the id-ish url key under AQE skew handling. Docs with a NULL
+    * url keep themselves (no cross-null grouping). Output
+    * `(id, url_norm, keep_id, keep)`. */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), urlNormalize(col(urlCol)).as("url_norm"))
+    val winners = base.where(col("url_norm").isNotNull)
+      .groupBy("url_norm").agg(min(col("id")).as("keep_id"))
+    base.join(winners, Seq("url_norm"), "left")
+      .select(col("id"), col("url_norm"),
+        coalesce(col("keep_id"), col("id")).as("keep_id"))
+      .withColumn("keep", col("id") === col("keep_id"))
+  }
+
   /** Ordered word bigrams "w1 w2" of a document — array-domain (zip against
     * the 1-shifted slice; no lambda capture of the word array, zip_with
     * null-pads the tail away). */

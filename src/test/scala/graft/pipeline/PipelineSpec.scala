@@ -91,6 +91,38 @@ class PipelineSpec extends SparkSuite {
     assert(blocks === Seq(("alpha " * 10).trim))
   }
 
+  test("urlNormalize canonicalizes scheme/www/port/query/fragment/trailing slash") {
+    val cases = Seq(
+      "https://WWW.Example.com:443/a/b/?utm=1#frag" -> "example.com/a/b",
+      "http://example.com/a/b" -> "example.com/a/b",
+      "ftp://Example.COM/a/b/" -> "example.com/a/b",
+      "http://other.org" -> "other.org",
+      "HTTP://www.other.org/" -> "other.org",
+      "example.com/x" -> "example.com/x") // scheme-less input passes through
+    val got = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.urlNormalize(col("u"))).as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+    val nul = Seq(Tuple1(null.asInstanceOf[String])).toDF("u")
+      .select(TextAnalysis.urlNormalize(col("u"))).as[String].head()
+    assert(nul === null)
+  }
+
+  test("dedupBlocksAcrossCorpus removes later occurrences and reassembles losslessly") {
+    val df = Seq(
+      (1L, ("alpha " * 10 + "beta " * 10).trim),  // keeps both blocks
+      (2L, ("alpha " * 10).trim + " tail words"), // alpha block dups doc1 → only the tail survives
+      (3L, ("beta " * 10 + "alpha " * 10).trim),  // both blocks seen → emptied
+      (4L, "short unique doc")                    // tail-only doc survives whole
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupBlocksAcrossCorpus(df, "doc_id", "text", w = 10)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, ("alpha " * 10 + "beta " * 10).trim, 2L, 2L),
+      (2L, "tail words", 2L, 1L),
+      (3L, "", 2L, 0L),
+      (4L, "short unique doc", 1L, 1L)))
+  }
+
   test("token-domain dedup family agrees exactly with the text family on the same terms") {
     // LAW: tokens rendered as decimal strings and space-joined into text
     // must produce bit-identical shingles, minhash signatures, simhash
