@@ -161,6 +161,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("p35 corpus block-dedup transform: no window, no join keyed on the block hash") {
+    // the winner struct carries the block text, so the only join is the
+    // id-keyed totals attach — a boilerplate block's 10⁹ occurrences
+    // collapse map-side in the partial agg
+    val df = SparkEntry.queries("p35_block_dedup_apply")(spark, dir)
+    val plan = planString(df)
+    assert(!plan.contains("Window"), "p35 must not plan a window")
+    assert(!"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[h#".r
+      .findFirstIn(plan).isDefined, "no join may key on the block hash")
+  }
+
   test("s08 semantic dedup: cell-keyed pair join, no unbroadcast cartesian") {
     // the only nested-loop is the N×nlist assignment against the BROADCAST
     // centroid set (s04's pattern); the quadratic pair stage must ride the
