@@ -1449,6 +1449,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p36_bpe_merges" -> ((s, dir) =>
+      // distributed BPE tokenizer TRAINING (Sennrich-style, word-type
+      // weighted): 6 greedy merges; the oracle replays the identical
+      // rounds as chained CTEs — same pair counting, (freq desc, lhs,
+      // rhs) tie-break, and bracketed exact-replace rewrite
+      Vocab.bpeMerges(t(s, dir, "documents"), "text", nMerges = 6)
+        .orderBy("merge_rank")),
+
     "p35_block_dedup_apply" -> ((s, dir) => {
       // corpus-wide block dedup APPLIED (tail partial block included so
       // unique text reassembles losslessly); injected full copies (ids
@@ -3150,6 +3158,31 @@ object SparkEntry {
         | sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_blocks,
         | round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS dup_frac6
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p36_bpe_merges" -> {
+      val k = 6
+      val stages = (1 to k).map { i =>
+        s"""p$i AS (SELECT l, r, sum(freq) AS n FROM (
+           |  SELECT freq, syms[i] AS l, syms[i + 1] AS r FROM
+           |    (SELECT freq, regexp_extract_all(s, '⟨([^⟩]*)⟩', 1) AS syms FROM t${i - 1}) sy
+           |    CROSS JOIN unnest(range(1, len(syms))) u(i)) pp GROUP BY l, r),
+           |b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+           |t$i AS (SELECT replace(t${i - 1}.s, '⟨' || b.l || '⟩⟨' || b.r || '⟩',
+           |                       '⟨' || b.l || b.r || '⟩') AS s, freq
+           |        FROM t${i - 1} CROSS JOIN b$i b)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to k).map(i =>
+        s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, l || r AS merged, n::BIGINT AS freq FROM b$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH ww AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> len(x) > 0)) AS w FROM documents),
+         |w0 AS (SELECT w, count(*) AS freq FROM ww
+         |       WHERE w NOT LIKE '%⟨%' AND w NOT LIKE '%⟩%' GROUP BY w),
+         |t0 AS (SELECT '⟨' || array_to_string(
+         |    list_append(regexp_extract_all(w, '.'), '</w>'), '⟩⟨') || '⟩' AS s, freq FROM w0),
+         |$stages
+         |SELECT * FROM ($union) ORDER BY merge_rank""".stripMargin
+    },
 
     "p35_block_dedup_apply" ->
       // tail-inclusive blocks (DuckDB list slicing clamps at the end like

@@ -85,4 +85,70 @@ object Vocab {
   def idChecksum(tokenIds: Column): Column =
     aggregate(transform(tokenIds, (t, i) => t * (i + lit(1)).cast("long")),
       lit(0L), (acc, v) => acc + v)
+
+  /** Distributed BPE merge TRAINING (public algorithm: Sennrich, Haddow &
+    * Birch 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units" — greedy highest-frequency pair merges, word-internal with the
+    * `</w>` end marker, counted over word TYPES weighted by corpus
+    * frequency). Output: the ordered merge table
+    * `(merge_rank, lhs, rhs, merged, freq)` — the artifact a BPE
+    * tokenizer applies.
+    *
+    * Scale shape: the corpus is scanned ONCE to build the word-type table
+    * (a map-side-combined word count — types ≪ occurrences); every
+    * iteration then runs on that vocab-sized table: pair counting is a
+    * partial-aggregated counter `groupBy(l, r)`, the winning pair is a
+    * deterministic 1-ROW driver collect (greedy BPE's sequential decision
+    * — k round-trips for k merges, the standard distributed-trainer
+    * shape), and the rewrite is a pure exact-substring `replace`
+    * projection. `localCheckpoint` per round keeps the plan flat.
+    *
+    * Engine-portable by construction: a word travels as the bracketed
+    * symbol string `⟨l⟩⟨o⟩⟨w⟩⟨</w>⟩`, so the pair rewrite is leftmost
+    * non-overlapping exact `replace` — the same semantics in any engine,
+    * and exactly greedy BPE's within-word scan (merging (x,x) on
+    * `⟨x⟩⟨x⟩⟨x⟩` yields `⟨xx⟩⟨x⟩`). Ties break (freq desc, lhs asc,
+    * rhs asc). The rare word already containing a bracket character is
+    * excluded from training (it cannot be represented; filtered, like
+    * regex-unsafe terms elsewhere in this file's family). */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var types = df.select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .where(!col("w").contains("⟨") && !col("w").contains("⟩"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat(lit("⟨"),
+          array_join(concat(regexp_extract_all(col("w"), lit("."), lit(0)),
+            array(lit("</w>"))), "⟩⟨"),
+          lit("⟩")).as("s"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val syms = regexp_extract_all(col("s"), lit("⟨([^⟩]*)⟩"), lit(1))
+      val top = types
+        .select(col("freq"), explode(zip_with(
+            syms, slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .where(col("p.r").isNotNull) // zip_with's null tail padding
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, l + r, n))
+        types = types.select(
+            call_function("replace", col("s"),
+              lit(s"⟨$l⟩⟨$r⟩"), lit(s"⟨$l$r⟩")).as("s"),
+            col("freq"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "freq")
+  }
 }

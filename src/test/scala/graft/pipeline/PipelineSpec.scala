@@ -91,6 +91,32 @@ class PipelineSpec extends SparkSuite {
     assert(blocks === Seq(("alpha " * 10).trim))
   }
 
+  test("bpeMerges reproduces the hand-computed greedy merge sequence") {
+    // Sennrich-style fixture: low×5, lower×2, newest×6, widest×3.
+    // Hand-derived: (e,s)9 → (es,t)9 → (est,</w>)9 → (l,o)7 → (lo,w)7,
+    // with ties broken (freq desc, lhs asc, rhs asc).
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = Vocab.bpeMerges(df, "text", nMerges = 5)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "est", "</w>", "est</w>", 9L),
+      (4, "l", "o", "lo", 7L),
+      (5, "lo", "w", "low", 7L)))
+  }
+
+  test("bpeMerges self-pair merge is leftmost non-overlapping") {
+    // "aaa" = a a a </w>: (a,a) counts 2 (both adjacent positions), and the
+    // rewrite yields aa·a·</w> — so merge 2 is the tie-broken (a,</w>)
+    val df = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = Vocab.bpeMerges(df, "text", nMerges = 2)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1, "a", "a", "aa", 2L), (2, "a", "</w>", "a</w>", 1L)))
+  }
+
   test("urlNormalize canonicalizes scheme/www/port/query/fragment/trailing slash") {
     val cases = Seq(
       "https://WWW.Example.com:443/a/b/?utm=1#frag" -> "example.com/a/b",
