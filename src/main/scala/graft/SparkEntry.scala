@@ -1457,6 +1457,18 @@ object SparkEntry {
       Vocab.bpeMerges(t(s, dir, "documents"), "text", nMerges = 6)
         .orderBy("merge_rank")),
 
+    "p37_bpe_segment" -> ((s, dir) => {
+      // train → segment composed: the corpus trains its own 6 merges,
+      // then every document becomes its subword stream (scan-riding
+      // replace chain, one reassembly groupBy); md5 pins each stream
+      val docs = t(s, dir, "documents")
+      val merges = Vocab.bpeMerges(docs, "text", nMerges = 6)
+      Vocab.bpeSegment(docs, "doc_id", "text", merges)
+        .select(col("id").as("doc_id"), col("n_subtok"),
+          md5(array_join(col("subwords"), " ")).as("sub_md5"))
+        .orderBy("doc_id")
+    }),
+
     "p35_block_dedup_apply" -> ((s, dir) => {
       // corpus-wide block dedup APPLIED (tail partial block included so
       // unique text reassembles losslessly); injected full copies (ids
@@ -3182,6 +3194,42 @@ object SparkEntry {
          |    list_append(regexp_extract_all(w, '.'), '</w>'), '⟩⟨') || '⟩' AS s, freq FROM w0),
          |$stages
          |SELECT * FROM ($union) ORDER BY merge_rank""".stripMargin
+    },
+
+    "p37_bpe_segment" -> {
+      val k = 6
+      val stages = (1 to k).map { i =>
+        s"""p$i AS (SELECT l, r, sum(freq) AS n FROM (
+           |  SELECT freq, syms[i] AS l, syms[i + 1] AS r FROM
+           |    (SELECT freq, regexp_extract_all(s, '⟨([^⟩]*)⟩', 1) AS syms FROM t${i - 1}) sy
+           |    CROSS JOIN unnest(range(1, len(syms))) u(i)) pp GROUP BY l, r),
+           |b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+           |t$i AS (SELECT replace(t${i - 1}.s, '⟨' || b.l || '⟩⟨' || b.r || '⟩',
+           |                       '⟨' || b.l || b.r || '⟩') AS s, freq
+           |        FROM t${i - 1} CROSS JOIN b$i b)""".stripMargin
+      }.mkString(",\n")
+      val bracketed =
+        "'⟨' || array_to_string(list_append(regexp_extract_all(w, '.'), '</w>'), '⟩⟨') || '⟩'"
+      val chain = (1 to k).foldLeft(bracketed) { (acc, i) =>
+        s"replace($acc, '⟨' || (SELECT l FROM b$i) || '⟩⟨' || (SELECT r FROM b$i) || '⟩', " +
+          s"'⟨' || (SELECT l FROM b$i) || (SELECT r FROM b$i) || '⟩')"
+      }
+      s"""WITH ww AS (SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> len(x) > 0)) AS w FROM documents),
+         |w0 AS (SELECT w, count(*) AS freq FROM ww
+         |       WHERE w NOT LIKE '%⟨%' AND w NOT LIKE '%⟩%' GROUP BY w),
+         |t0 AS (SELECT '⟨' || array_to_string(
+         |    list_append(regexp_extract_all(w, '.'), '</w>'), '⟩⟨') || '⟩' AS s, freq FROM w0),
+         |$stages,
+         |d AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> len(x) > 0) AS ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) AS w,
+         |        unnest(range(1, len(ws) + 1)) AS pos FROM d WHERE len(ws) > 0),
+         |seg AS (SELECT doc_id, pos,
+         |  regexp_extract_all($chain, '⟨([^⟩]*)⟩', 1) AS syms FROM tok)
+         |SELECT doc_id, sum(len(syms))::BIGINT AS n_subtok,
+         | md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)) AS sub_md5
+         |FROM seg GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "p35_block_dedup_apply" ->

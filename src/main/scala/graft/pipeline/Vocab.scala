@@ -151,4 +151,43 @@ object Vocab {
     }
     merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "freq")
   }
+
+  /** BPE SEGMENTATION — apply a [[bpeMerges]] table to a corpus: each word
+    * replays the merge list in rank order (greedy BPE inference) and the
+    * document becomes its subword stream. Output
+    * `(id, n_subtok, subwords: array<string>)` in original word order;
+    * word-free docs emit nothing.
+    *
+    * Scale shape: the merge table is collected once (it is the trained
+    * artifact — ≤ vocab-budget rows) and folds into ONE chained
+    * exact-replace projection, so segmentation RIDES THE SCAN — no join,
+    * no per-word state; the only shuffle is the per-doc reassembly
+    * `groupBy(id)`. The fold nests one codegen call per merge, which
+    * holds to a few hundred merges; a production-size merge list (30k+)
+    * would chain batched projections with checkpoints — same plan shape,
+    * just split. A word containing a bracket character cannot take the
+    * symbol encoding and passes through as a single opaque token
+    * (mirroring its exclusion from training). */
+  def bpeSegment(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "w")))
+    val bracketed = concat(lit("⟨"),
+      array_join(concat(regexp_extract_all(col("w"), lit("."), lit(0)),
+        array(lit("</w>"))), "⟩⟨"),
+      lit("⟩"))
+    val merged = ms.foldLeft(bracketed) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit(s"⟨$l⟩⟨$r⟩"), lit(s"⟨$l$r⟩"))
+    }
+    val subs = when(col("w").contains("⟨") || col("w").contains("⟩"), array(col("w")))
+      .otherwise(regexp_extract_all(merged, lit("⟨([^⟩]*)⟩"), lit(1)))
+    toks.select(col("id"), col("pos"), subs.as("subs"))
+      .groupBy("id")
+      .agg(sum(size(col("subs"))).cast("long").as("n_subtok"),
+        collect_list(struct(col("pos"), col("subs"))).as("ps"))
+      .select(col("id"), col("n_subtok"),
+        flatten(transform(array_sort(col("ps")), p => p.getField("subs"))).as("subwords"))
+  }
 }

@@ -108,6 +108,18 @@ class PipelineSpec extends SparkSuite {
       (5, "lo", "w", "low", 7L)))
   }
 
+  test("bpeSegment applies the trained merges in rank order (greedy inference)") {
+    val train = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val corpus = Seq((1L, train)).toDF("doc_id", "text")
+    val merges = Vocab.bpeMerges(corpus, "text", nMerges = 5)
+    val doc = Seq((7L, "low lower newest")).toDF("doc_id", "text")
+    val got = Vocab.bpeSegment(doc, "doc_id", "text", merges)
+      .as[(Long, Long, Seq[String])].collect().head
+    assert(got === ((7L, 10L,
+      Seq("low", "</w>", "low", "e", "r", "</w>", "n", "e", "w", "est</w>"))))
+  }
+
   test("bpeMerges self-pair merge is leftmost non-overlapping") {
     // "aaa" = a a a </w>: (a,a) counts 2 (both adjacent positions), and the
     // rewrite yields aa·a·</w> — so merge 2 is the tie-broken (a,</w>)
