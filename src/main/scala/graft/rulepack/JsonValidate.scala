@@ -55,10 +55,24 @@ object JsonValidate {
 
   /** Validate `data` against `schema` (a raw JSON-value schema, refs
     * resolved against `store`), reference-ordered and reference-worded.
-    * Errors come back sorted by path (Schema.pm:149-156). */
+    * Errors come back sorted by path (Schema.pm:149-156).
+    *
+    * `refSiblings`: 2019-09 dialect `$ref` handling — sibling keywords
+    * accumulate along the chain and apply alongside the target (target
+    * wins per keyword, ref-machinery keys dropped:
+    * Draft201909.pm:49-68 `_state`). Defaults to the draft-4/7 replace
+    * semantics; auto-enabled when the schema's own `$schema` names
+    * 2019-09/2020-12 (the reference selects the subclass the same way). */
   def validate(data: JValue, schema: JValue, store: Store = Store(),
-      coerce: Coercion = Coercion()): Seq[Err] = {
-    val walker = new Walker(new RulePack.Resolver(schema, store), coerce)
+      coerce: Coercion = Coercion(), refSiblings: Option[Boolean] = None): Seq[Err] = {
+    val merge = refSiblings.getOrElse(schema match {
+      case o: JObj => o.get("$schema").exists {
+        case JStr(u) => u.contains("2019-09") || u.contains("2020-12")
+        case _ => false
+      }
+      case _ => false
+    })
+    val walker = new Walker(new RulePack.Resolver(schema, store), coerce, merge)
     val base = schema match {
       case o: JObj => (o.get("$id") orElse o.get("id")).collect { case JStr(s) => stripFragment(s) }.getOrElse("")
       case _ => ""
@@ -297,25 +311,46 @@ object JsonValidate {
     }
   }
 
-  private final class Walker(resolver: RulePack.Resolver, coerce: Coercion) {
+  private final class Walker(resolver: RulePack.Resolver, coerce: Coercion,
+      mergeRefSiblings: Boolean) {
     import Walker.Seen
 
-    /** `_state` (Schema.pm:353-364): follow `$ref` chains (sibling
-      * keywords are replaced, draft-4/7 semantics), rebasing on embedded
-      * `$id`s; a looping chain stops at the revisited node. */
-    @annotation.tailrec
-    private def follow(s: JValue, base: String, chain: List[AnyRef]): (JValue, String) = s match {
-      case o: JObj =>
-        val b2 = (o.get("$id") orElse o.get("id")).collect {
-          case JStr(x) if !x.startsWith("#") => stripFragment(joinUri(base, x))
-        }.getOrElse(base)
-        (o.get("$ref") orElse o.get("$recursiveRef")) match {
-          case Some(JStr(r)) if !chain.exists(_ eq o) =>
-            val (t, nb) = resolver.resolveRef(r, b2)
-            follow(t, nb, o :: chain)
-          case _ => (o, b2)
-        }
-      case _ => (s, base)
+    private val RefMachinery = Set("$anchor", "$id", "$recursiveAnchor", "$recursiveRef", "$ref")
+
+    /** `_state`: follow `$ref` chains, rebasing on embedded `$id`s; a
+      * looping chain stops at the revisited node. Draft-4/7 REPLACES the
+      * schema (Schema.pm:353-364); the 2019-09 dialect accumulates the
+      * chain's sibling keywords and applies them alongside the target,
+      * target winning per keyword (Draft201909.pm:49-68). */
+    private def follow(s0: JValue, base0: String, chain0: List[AnyRef]): (JValue, String) = {
+      var s = s0
+      var base = base0
+      var chain = chain0
+      var alongside = Vector.empty[(String, JValue)]
+      var done = false
+      while (!done) s match {
+        case o: JObj =>
+          base = (o.get("$id") orElse o.get("id")).collect {
+            case JStr(x) if !x.startsWith("#") => stripFragment(joinUri(base, x))
+          }.getOrElse(base)
+          (o.get("$ref") orElse o.get("$recursiveRef")) match {
+            case Some(JStr(r)) if !chain.exists(_ eq o) =>
+              if (mergeRefSiblings) alongside = alongside ++ o.fields
+              chain = o :: chain
+              val (t, nb) = resolver.resolveRef(r, base)
+              s = t; base = nb
+            case _ => done = true
+          }
+        case _ => done = true
+      }
+      if (mergeRefSiblings && alongside.nonEmpty) s match {
+        case o: JObj =>
+          val kept = alongside.filterNot(kv => RefMachinery(kv._1))
+            .filterNot(kv => o.toMap.contains(kv._1))
+          if (kept.nonEmpty) s = JObj(kept ++ o.fields)
+        case _ => ()
+      }
+      (s, base)
     }
 
     /** Schema.pm:366-421 `_validate`. */

@@ -241,4 +241,20 @@ class JsonValidateSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"${bad.size}/$run diverged:\n${bad.mkString("\n")}")
     assert(run >= 150)
   }
+
+  test("2019-09 delta slice verdicts match through the driver walker (ref-sibling dialect)") {
+    val suite = loadSlice("/jsonschema-suite/draft2019-slice.json")
+    var run = 0
+    val failures = Seq.newBuilder[String]
+    for ((gdesc, schema, tests) <- suite; (tdesc, data, expectValid) <- tests) {
+      run += 1
+      val got = JsonValidate.validate(data, schema,
+        refSiblings = Some(true)).isEmpty
+      if (got != expectValid)
+        failures += s"$gdesc :: $tdesc (expected valid=$expectValid, schema=${schema.render}, data=${data.render})"
+    }
+    val bad = failures.result()
+    assert(bad.isEmpty, s"${bad.size}/$run diverged:\n${bad.mkString("\n")}")
+    assert(run >= 40)
+  }
 }
