@@ -1449,6 +1449,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p38_substring_dedup" -> ((s, dir) => {
+      // Lee-et-al-style exact SUBSTRING dedup over the pre-tokenized
+      // corpus: any 15-token window seen earlier (total order: doc id,
+      // offset) is erased; planted full copies (+100000) must come back
+      // fully covered, planted 36-token excerpts (+200000) mostly covered,
+      // originals untouched (they hold every winner); merged-span counts
+      // and the md5 of each surviving token stream pin the transformation
+      val toks = tokenizedDocs(s, dir).select("doc_id", "tokens")
+      val base = toks.where(col("doc_id") < 50)
+      val copies = base.withColumn("doc_id", col("doc_id") + lit(100000L))
+      val excerpts = toks
+        .where(col("doc_id") < 20 && size(col("tokens")) >= 41)
+        .select((col("doc_id") + lit(200000L)).as("doc_id"),
+          slice(col("tokens"), 6, 36).as("tokens"))
+      // two copied 20-token regions around a 10-token UNIQUE spacer
+      // (ids +50000 — outside the mod-50000 vocab, so unique by
+      // construction): partial coverage and the 2-span merge
+      val franken = toks
+        .where(col("doc_id") < 20 && size(col("tokens")) >= 50)
+        .select((col("doc_id") + lit(300000L)).as("doc_id"),
+          concat(slice(col("tokens"), 1, 20),
+            transform(slice(col("tokens"), 21, 10), tk => tk + lit(50000)),
+            slice(col("tokens"), 31, 20)).as("tokens"))
+      Dedup.exactSubstringDedup(
+          base.unionByName(copies).unionByName(excerpts).unionByName(franken),
+          "doc_id", "tokens", L = 15)
+        .select(col("id").as("doc_id"), col("n_tok").cast("long").as("n_tok"),
+          col("n_dup_tokens").cast("long").as("n_dup_tokens"),
+          col("n_spans").cast("long").as("n_spans"),
+          col("dup_frac"), col("clean_checksum"))
+        .orderBy("doc_id")
+    }),
+
     "p36_bpe_merges" -> ((s, dir) =>
       // distributed BPE tokenizer TRAINING (Sennrich-style, word-type
       // weighted): 6 greedy merges; the oracle replays the identical
@@ -3170,6 +3203,38 @@ object SparkEntry {
         | sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_blocks,
         | round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6) AS dup_frac6
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p38_substring_dedup" ->
+      s"""WITH $tokenizedDocsCte,
+         |base AS (
+         |  SELECT doc_id, tokens FROM tokd WHERE doc_id < 50
+         |  UNION ALL SELECT doc_id + 100000 AS doc_id, tokens FROM tokd WHERE doc_id < 50
+         |  UNION ALL SELECT doc_id + 200000 AS doc_id, tokens[6:41] AS tokens
+         |    FROM tokd WHERE doc_id < 20 AND len(tokens) >= 41
+         |  UNION ALL SELECT doc_id + 300000 AS doc_id,
+         |    tokens[1:20] || list_transform(tokens[21:30], tk -> tk + 50000) || tokens[31:50] AS tokens
+         |    FROM tokd WHERE doc_id < 20 AND len(tokens) >= 50),
+         |d AS (SELECT doc_id, tokens, list_transform(tokens, t -> t::VARCHAR) AS ws FROM base),
+         |g AS (SELECT doc_id, i::INT - 1 AS pos, md5(array_to_string(ws[i:i+14], ' ')) AS h
+         |      FROM d CROSS JOIN unnest(range(1, greatest(len(ws) - 14, 0) + 1)) t(i)),
+         |r AS (SELECT doc_id, pos,
+         |        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         |        count(*) OVER (PARTITION BY h) AS cnt FROM g),
+         |cp AS (SELECT doc_id, unnest(range(pos, pos + 15)) AS cp
+         |       FROM r WHERE cnt > 1 AND rn > 1),
+         |cov AS (SELECT doc_id, list_sort(list(DISTINCT cp)) AS covered FROM cp GROUP BY doc_id),
+         |j AS (SELECT d.doc_id, d.tokens, d.ws, coalesce(c.covered, []) AS covered
+         |      FROM d LEFT JOIN cov c USING (doc_id))
+         |SELECT doc_id, len(tokens)::BIGINT AS n_tok,
+         | len(covered)::BIGINT AS n_dup_tokens,
+         | (CASE WHEN len(covered) = 0 THEN 0
+         |   ELSE 1 + len(list_filter(range(2, len(covered) + 1),
+         |                i -> covered[i] > covered[i-1] + 1)) END)::BIGINT AS n_spans,
+         | round(len(covered)::DOUBLE / len(tokens)::DOUBLE, 6) AS dup_frac,
+         | md5(coalesce(array_to_string(list_transform(
+         |   list_filter(range(1, len(tokens) + 1), i -> NOT list_contains(covered, i - 1)),
+         |   i -> ws[i]), ' '), '')) AS clean_checksum
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     "p36_bpe_merges" -> {
       val k = 6

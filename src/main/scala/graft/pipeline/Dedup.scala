@@ -837,6 +837,96 @@ object Dedup {
         (-col("m.negs")).as("keep_score"), col("group_size"))
   }
 
+  // ---- exact substring dedup (duplicated L-token spans) ----------------
+
+  /** Sliding L-token gram array of a pre-tokenized document, POSITIONAL:
+    * element i (0-based) is the space-joined decimal ids of tokens
+    * [i, i+L). Built by the [[shingleArrayOf]] zip-with-shifted-slices
+    * fold (no lambda capture — O(len·L), not O(len²·L)), but order- and
+    * position-preserving: `filter` keeps the non-null prefix in place, so
+    * the array index IS the gram's start offset. Docs shorter than L
+    * yield an empty array. */
+  def tokenGramArray(tokens: Column, L: Int): Column = {
+    val ws = tokenTerms(tokens)
+    val joined = (1 until L).foldLeft(ws) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(j + 1), greatest(size(ws) - j, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(joined, x => x.isNotNull)
+  }
+
+  /** Exact-substring dedup in the token domain — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better") family,
+    * re-expressed relationally: any L-token window that occurs more than
+    * once ANYWHERE in the corpus is a duplicated span; every occurrence
+    * except the global first (total order: doc id, then offset) is marked
+    * for removal; overlapping marks merge per document. The paper builds a
+    * suffix array — a pointer-chasing single-machine structure; the
+    * relational form is a sliding-gram inverted index, which distributes
+    * and costs O(corpus tokens · L) hash work (a Rabin-Karp rolling hash
+    * would cut the L factor; md5 keeps the hash engine-portable so the
+    * DuckDB oracle replays it bit-exactly).
+    *
+    * Output, one row per input doc:
+    * `(id, n_tok, n_dup_tokens, n_spans, dup_frac, clean_checksum)` —
+    * `n_dup_tokens` = tokens covered by merged duplicate spans, `n_spans`
+    * = merged span count, `clean_checksum` = md5 of the surviving token
+    * stream (space-joined decimal ids; '' hashes for a fully-duplicated
+    * doc), pinning the exact transformation, not just counts.
+    *
+    * Scale shape (the p22 lesson applied from the start):
+    *  - occurrences `(id, pos, h)` materialize ONCE (`localCheckpoint`)
+    *    — hash-width rows, far narrower than the grams they summarize;
+    *  - the winner per duplicated gram is a partial-aggregated
+    *    `groupBy(h).agg(min(struct(id,pos)), count)` — a boilerplate gram
+    *    occurring 10⁹ times collapses map-side; NO window over occurrence
+    *    partitions;
+    *  - the occurrence⋈winner join keys on the gram hash: Zipf-skewed on
+    *    the probe side, but it is a shuffle JOIN, which AQE's
+    *    OptimizeSkewedJoin splits (unlike window partitions) — and the
+    *    build side is one row per DISTINCT duplicated gram;
+    *  - span merge + clean-stream reassembly are array expressions over
+    *    the per-doc covered set — no per-doc window, rides the join. The
+    *    per-token membership probe is O(|covered|) per token (worst
+    *    O(n_tok²) for a fully-duplicated doc); at 100 TB cap span density
+    *    upstream (a doc past ~50% coverage is dropped whole by policy
+    *    before reassembly matters). */
+  def exactSubstringDedup(df: DataFrame, idCol: String, tokensCol: String,
+      L: Int): DataFrame = {
+    require(L >= 2, s"gram length must be >= 2, got $L")
+    val occ = df
+      .select(col(idCol).as("id"),
+        posexplode(tokenGramArray(col(tokensCol), L)).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), md5(col("gram").cast("binary")).as("h"))
+      .localCheckpoint()
+    val dupWinners = occ.groupBy("h")
+      .agg(min(struct(col("id"), col("pos"))).as("w"), count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("h"), col("w.id").as("w_id"), col("w.pos").as("w_pos"))
+    val dupOcc = occ.join(dupWinners, "h")
+      .where(!(col("id") === col("w_id") && col("pos") === col("w_pos")))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(L - 1))).as("cp"))
+    val covered = dupOcc.groupBy("id")
+      .agg(sort_array(collect_set(col("cp"))).as("covered"))
+    df.select(col(idCol).as("id"), col(tokensCol).as("__toks"))
+      .join(covered, Seq("id"), "left")
+      .withColumn("covered",
+        coalesce(col("covered"), array().cast("array<int>")))
+      .select(col("id"), size(col("__toks")).as("n_tok"),
+        size(col("covered")).as("n_dup_tokens"),
+        when(size(col("covered")) === 0, 0).otherwise(
+          size(filter(zip_with(
+              slice(col("covered"), lit(2), greatest(size(col("covered")) - 1, lit(0))),
+              col("covered"), (nxt, cur) => nxt > cur + 1),
+            x => x)) + 1).as("n_spans"),
+        round(size(col("covered")).cast("double") /
+          size(col("__toks")).cast("double"), 6).as("dup_frac"),
+        md5(array_join(
+          filter(tokenTerms(col("__toks")),
+            (_, i) => !array_contains(col("covered"), i)),
+          " ").cast("binary")).as("clean_checksum"))
+  }
+
   /** Banding-capacity lint (the 32-bit-SimHash lesson generalized): with N
     * docs hashed into 2^bandBits buckets per band, expected occupancy is
     * N/2^bandBits and the candidate join pays ≥ N²/2^bandBits pairs per
