@@ -1482,6 +1482,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p39_fuzzy_decontamination" -> ((s, dir) => {
+      // MinHash-LSH decontamination ACROSS corpora: planted bench docs are
+      // exact copies (ids <10), near-copies with the first two tokens
+      // dropped (10..19 — paraphrase-level leakage the exact check would
+      // still catch but a lexical diff would miss), and token-shifted
+      // CLEAN docs (20..29, +50000 ids — zero shared shingles, must NOT
+      // pair); signature-agreement estimator gated at 8/16
+      val toks = tokenizedDocs(s, dir).select("doc_id", "tokens")
+      val train = toks.where(col("doc_id") < 300)
+      val bench = toks.where(col("doc_id") < 10)
+        .unionByName(toks.where(col("doc_id") >= 10 && col("doc_id") < 20)
+          .select(col("doc_id"),
+            slice(col("tokens"), lit(3), size(col("tokens"))).as("tokens")))
+        .unionByName(toks.where(col("doc_id") >= 20 && col("doc_id") < 30)
+          .select(col("doc_id"),
+            transform(col("tokens"), tk => tk + lit(50000)).as("tokens")))
+      Dedup.fuzzyContaminationTokens(train, bench, "doc_id", "tokens",
+          shingleK = 3, numHashes = 16, bands = 8, minAgree = 8)
+        .orderBy("train_id", "bench_id")
+    }),
+
     "p36_bpe_merges" -> ((s, dir) =>
       // distributed BPE tokenizer TRAINING (Sennrich-style, word-type
       // weighted): 6 greedy merges; the oracle replays the identical
@@ -3235,6 +3256,39 @@ object SparkEntry {
          |   list_filter(range(1, len(tokens) + 1), i -> NOT list_contains(covered, i - 1)),
          |   i -> ws[i]), ' '), '')) AS clean_checksum
          |FROM j ORDER BY doc_id""".stripMargin,
+
+    "p39_fuzzy_decontamination" -> {
+      val sig = (0 until 16).map(j =>
+        s"list_min(list_transform(sh, s -> ('0x' || substr(md5('${j / 4}:' || s), ${1 + 8 * (j % 4)}, 8))::BIGINT)) AS sig_$j")
+        .mkString(",\n ")
+      val bandList = (0 until 8).map(b =>
+        s"md5(sig_${2 * b}::VARCHAR || ',' || sig_${2 * b + 1}::VARCHAR)").mkString(", ")
+      val shingle3 = "list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), " +
+        "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+      val agree = (0 until 16)
+        .map(j => s"(CASE WHEN t.sig_$j = b.sig_$j THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $tokenizedDocsCte,
+         |tr AS (SELECT doc_id, tokens FROM tokd WHERE doc_id < 300),
+         |be AS (SELECT doc_id, tokens FROM tokd WHERE doc_id < 10
+         |  UNION ALL SELECT doc_id, tokens[3:] AS tokens
+         |    FROM tokd WHERE doc_id >= 10 AND doc_id < 20
+         |  UNION ALL SELECT doc_id, list_transform(tokens, tk -> tk + 50000) AS tokens
+         |    FROM tokd WHERE doc_id >= 20 AND doc_id < 30),
+         |wt AS (SELECT doc_id, list_transform(tokens, t -> t::VARCHAR) AS ws FROM tr),
+         |wb AS (SELECT doc_id, list_transform(tokens, t -> t::VARCHAR) AS ws FROM be),
+         |sht AS (SELECT doc_id, $shingle3 AS sh FROM wt),
+         |shb AS (SELECT doc_id, $shingle3 AS sh FROM wb),
+         |tsig AS (SELECT doc_id, $sig FROM sht),
+         |bsig AS (SELECT doc_id, $sig FROM shb),
+         |tband AS (SELECT doc_id AS train_id, unnest([$bandList]) AS bucket FROM tsig),
+         |bband AS (SELECT doc_id AS bench_id, unnest([$bandList]) AS bucket FROM bsig),
+         |cand AS (SELECT DISTINCT train_id, bench_id FROM tband JOIN bband USING (bucket))
+         |SELECT train_id, bench_id, ($agree)::BIGINT AS n_agree,
+         | round(($agree)::DOUBLE / 16.0, 6) AS est_jaccard
+         |FROM cand JOIN tsig t ON cand.train_id = t.doc_id
+         |          JOIN bsig b ON cand.bench_id = b.doc_id
+         |WHERE ($agree) >= 8 ORDER BY train_id, bench_id""".stripMargin
+    },
 
     "p36_bpe_merges" -> {
       val k = 6

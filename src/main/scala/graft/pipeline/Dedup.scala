@@ -314,6 +314,45 @@ object Dedup {
       .where(col("n_common") >= minCommon)
   }
 
+  /** FUZZY benchmark decontamination — MinHash-LSH across corpora: train
+    * docs whose estimated Jaccard against any benchmark doc clears
+    * `minAgree`/`numHashes`. Catches paraphrase-level leakage the exact
+    * shingle-overlap check ([[contaminationPairsTokens]]) prices linearly;
+    * this one touches only band-bucket collisions, then scores candidates
+    * by signature agreement (the standard unbiased Jaccard estimator:
+    * P(min-hash match) = J).
+    *
+    * Scale shape: benchmark sets are small by nature (k–M docs), so BOTH
+    * bench-side tables broadcast explicitly — the band probe and the
+    * signature re-join are map-side; the train side is touched once for
+    * signatures (one partial-aggregated groupBy) and once for the probe.
+    * No train×train work at all. Output
+    * `(train_id, bench_id, n_agree, est_jaccard)`. */
+  def fuzzyContaminationTokens(train: DataFrame, bench: DataFrame,
+      idCol: String, tokensCol: String, shingleK: Int, numHashes: Int,
+      bands: Int, minAgree: Int,
+      family: HashFamily = Md5Portable): DataFrame = {
+    require(minAgree >= 1 && minAgree <= numHashes,
+      s"minAgree must be in [1, $numHashes], got $minAgree")
+    val ts = minhashSignaturesTokens(train, idCol, tokensCol, shingleK, numHashes, family)
+    val bs = minhashSignaturesTokens(bench, idCol, tokensCol, shingleK, numHashes, family)
+    def bandTable(sigs: DataFrame, outId: String): DataFrame =
+      sigs.select(col("id").as(outId) +: bandKeys(numHashes, bands): _*)
+        .select(col(outId),
+          explode(array((0 until bands).map(b => col(s"band_$b")): _*)).as("bucket"))
+    val cand = bandTable(ts, "train_id")
+      .join(broadcast(bandTable(bs, "bench_id")), Seq("bucket"))
+      .select("train_id", "bench_id").distinct()
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"t.sig_$j") === col(s"b.sig_$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(ts.as("t"), col("train_id") === col("t.id"))
+      .join(broadcast(bs.as("b")), col("bench_id") === col("b.id"))
+      .select(col("train_id"), col("bench_id"), agree.cast("long").as("n_agree"),
+        round(agree.cast("double") / lit(numHashes.toDouble), 6).as("est_jaccard"))
+      .where(col("n_agree") >= minAgree)
+  }
+
   /** Connected components over candidate pairs — turns near-duplicate PAIRS
     * into duplicate GROUPS (component id = min doc id in the group, the
     * canonical "keeper"). Iterative min-label propagation: each round every
