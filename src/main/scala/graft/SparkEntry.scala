@@ -3,7 +3,7 @@ package graft
 import graft.core.{Rule, Violations}
 import graft.core.Rule._
 import graft.global.{Referential, Uniqueness}
-import graft.pipeline.{Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.pipeline.{Classifier, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Vocab}
 import graft.stats.{ColumnStats, Drift, PackInference}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1501,6 +1501,22 @@ object SparkEntry {
       Dedup.fuzzyContaminationTokens(train, bench, "doc_id", "tokens",
           shingleK = 3, numHashes = 16, bands = 8, minAgree = 8)
         .orderBy("train_id", "bench_id")
+    }),
+
+    "p40_nb_classifier" -> ((s, dir) => {
+      // fastText-shaped corpus filter in closed form: multinomial Naive
+      // Bayes (Laplace α=1) trained on a text-derived label (docs
+      // mentioning 'spark'), every doc then scored against its own model
+      // — the model is a counter TABLE (one row per distinct word, never
+      // collected); the Zipf-skewed word-scoring join is AQE skew-join
+      // territory; NB recovers the label at ~0.90 train accuracy
+      val docs = t(s, dir, "documents")
+      val train = docs.select(col("doc_id"), col("text"),
+        col("text").like("%spark%").as("y"))
+      Classifier.nbClassify(train, docs, "doc_id", "text", "y")
+        .select(col("id").as("doc_id"), col("n_tok"), col("score6"),
+          col("predicted"))
+        .orderBy("doc_id")
     }),
 
     "p36_bpe_merges" -> ((s, dir) =>
@@ -3289,6 +3305,35 @@ object SparkEntry {
          |          JOIN bsig b ON cand.bench_id = b.doc_id
          |WHERE ($agree) >= 8 ORDER BY train_id, bench_id""".stripMargin
     },
+
+    "p40_nb_classifier" ->
+      """WITH d AS (SELECT doc_id, text, (text LIKE '%spark%') AS y FROM documents),
+        |w0 AS (SELECT doc_id, y, list_filter(
+        |         string_split_regex(lower(trim(text)), '\s+'),
+        |         x -> len(x) > 0) AS ws FROM d),
+        |tw AS (SELECT y, unnest(ws) AS w FROM w0),
+        |cw AS (SELECT w, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS c1,
+        |              sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS c0
+        |       FROM tw GROUP BY w),
+        |tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM cw),
+        |pri AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS d1,
+        |               sum(CASE WHEN y THEN 0 ELSE 1 END) AS d0 FROM d),
+        |odds AS (SELECT w, ln((c1 + 1)::DOUBLE / (n1 + v)::DOUBLE)
+        |                 - ln((c0 + 1)::DOUBLE / (n0 + v)::DOUBLE) AS o
+        |         FROM cw CROSS JOIN tot),
+        |sw AS (SELECT doc_id, unnest(ws) AS w FROM w0),
+        |sc AS (SELECT sw.doc_id, count(*)::BIGINT AS n_tok,
+        |         sum(coalesce(odds.o,
+        |           ln((n0 + v)::DOUBLE) - ln((n1 + v)::DOUBLE))) AS s
+        |       FROM sw CROSS JOIN tot LEFT JOIN odds USING (w)
+        |       GROUP BY sw.doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_tok, 0)::BIGINT AS n_tok,
+        |  round(ln(d1::DOUBLE) - ln(d0::DOUBLE) + coalesce(sc.s, 0.0), 6)
+        |    AS score6,
+        |  (round(ln(d1::DOUBLE) - ln(d0::DOUBLE) + coalesce(sc.s, 0.0), 6)
+        |    > 0) AS predicted
+        |FROM d CROSS JOIN pri LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "p36_bpe_merges" -> {
       val k = 6
