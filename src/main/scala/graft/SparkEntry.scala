@@ -1519,6 +1519,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p41_tfidf_keywords" -> ((s, dir) =>
+      // textbook tf·ln(N/df) keyword extraction, top-3 per doc with the
+      // (score desc, term asc) tie-break both engines replay bit-identically;
+      // tf/df are counter shuffles, the term join is Zipf/AQE, top-k is a
+      // per-doc window
+      TextAnalysis.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+          col("score6"), col("rank"))
+        .orderBy("doc_id", "rank")),
+
+    "p42_dsir_weights" -> ((s, dir) => {
+      // DSIR importance resampling: hashed-unigram bucket model (64 buckets,
+      // add-one smoothed), target = docs mentioning 'vector', raw = whole
+      // corpus; the λ table is FIXED-SIZE → broadcast scorer, zero shuffle
+      // beyond the per-doc counter rollup
+      val docs = t(s, dir, "documents")
+      Classifier.dsirWeights(docs.where(col("text").like("%vector%")), docs,
+          docs, "doc_id", "text", nBuckets = 64)
+        .select(col("id").as("doc_id"), col("n_tok"), col("log_weight6"))
+        .orderBy("doc_id")
+    }),
+
     "p36_bpe_merges" -> ((s, dir) =>
       // distributed BPE tokenizer TRAINING (Sennrich-style, word-type
       // weighted): 6 greedy merges; the oracle replays the identical
@@ -3334,6 +3356,48 @@ object SparkEntry {
         |    > 0) AS predicted
         |FROM d CROSS JOIN pri LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "p41_tfidf_keywords" ->
+      """WITH w0 AS (SELECT doc_id, unnest(list_filter(
+        |         string_split_regex(lower(trim(text)), '\s+'),
+        |         x -> len(x) > 0)) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |       FROM w0 GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term, tf, df,
+        |        tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE) AS score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE) DESC,
+        |          term) AS rank
+        |      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, df, round(score, 6) AS score6,
+        |  rank::BIGINT AS rank
+        |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "p42_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |tw AS (SELECT doc_id, unnest(list_filter(
+        |         string_split_regex(lower(trim(text)), '\s+'),
+        |         x -> len(x) > 0)) AS w FROM d),
+        |bk AS (SELECT doc_id,
+        |         ((('0x' || substr(md5('0:' || w), 1, 8))::BIGINT % 64))::INT AS b
+        |       FROM tw),
+        |tgt AS (SELECT bk.b, count(*)::BIGINT AS ct FROM bk JOIN d USING (doc_id)
+        |        WHERE d.text LIKE '%vector%' GROUP BY bk.b),
+        |raw AS (SELECT b, count(*)::BIGINT AS cr FROM bk GROUP BY b),
+        |spine AS (SELECT unnest(range(64))::INT AS b),
+        |c AS (SELECT spine.b, coalesce(ct, 0) AS ct, coalesce(cr, 0) AS cr
+        |      FROM spine LEFT JOIN tgt USING (b) LEFT JOIN raw USING (b)),
+        |tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
+        |lam AS (SELECT b, ln((ct + 1)::DOUBLE / (nt + 64)::DOUBLE)
+        |               - ln((cr + 1)::DOUBLE / (nr + 64)::DOUBLE) AS lam
+        |        FROM c CROSS JOIN tot),
+        |sc AS (SELECT bk.doc_id, count(*)::BIGINT AS n_tok, sum(lam.lam) AS s
+        |       FROM bk JOIN lam USING (b) GROUP BY bk.doc_id)
+        |SELECT d.doc_id, coalesce(sc.n_tok, 0)::BIGINT AS n_tok,
+        |  round(coalesce(sc.s, 0.0), 6) AS log_weight6
+        |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "p36_bpe_merges" -> {
       val k = 6

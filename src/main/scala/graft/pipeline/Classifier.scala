@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Linear text classifiers for corpus curation — the fastText-shaped
@@ -62,5 +62,44 @@ object Classifier {
         sum(col("tok")).as("n_tok"),
         round(first(col("prior")) + sum(col("o")), 6).as("score6"))
       .withColumn("predicted", col("score6") > 0.0)
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed-unigram bag
+    * features over `nBuckets` buckets, per-bucket log-ratio
+    * `λ(b) = ln p̂_target(b) − ln p̂_raw(b)` (add-one smoothing over the
+    * bucket spine, so buckets unseen in either corpus stay finite), and
+    * per-document `log_weight = Σ_tokens λ(bucket(w))`. Resampling keeps
+    * documents ∝ exp(log_weight) — the weight column IS the selector.
+    *
+    * Scale contrast with [[nbClassify]]: the NB model is word-keyed
+    * (unbounded vocabulary → shuffle join); the DSIR model is BUCKET-keyed
+    * — a fixed-size table (64…10⁴ rows regardless of corpus), so the
+    * scoring join BROADCASTS and the whole scorer rides the scan with one
+    * per-doc counter groupBy. Empty docs get weight 0 (= neutral). */
+  def dsirWeights(target: DataFrame, raw: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, nBuckets: Int = 64): DataFrame = {
+    def bucket(w: Column): Column =
+      pmod(Dedup.md5Hash32(w, 0), lit(nBuckets.toLong)).cast("int")
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(TextAnalysis.words(col(textCol))).as("w"))
+        .groupBy(bucket(col("w")).as("b")).agg(count(lit(1)).as(name))
+    val spine = score.sparkSession.range(nBuckets)
+      .select(col("id").cast("int").as("b"))
+    val c = spine.join(counts(target, "ct"), Seq("b"), "left")
+      .join(counts(raw, "cr"), Seq("b"), "left")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val tot = c.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lam = c.crossJoin(broadcast(tot)).select(col("b"),
+      (log((col("ct") + 1).cast("double") / (col("nt") + nBuckets).cast("double")) -
+       log((col("cr") + 1).cast("double") / (col("nr") + nBuckets).cast("double")))
+        .as("lam"))
+    val sw = score.select(col(idCol).as("id"),
+      explode_outer(TextAnalysis.words(col(textCol))).as("w"))
+    sw.join(broadcast(lam), bucket(col("w")) === lam("b"), "left")
+      .groupBy("id").agg(
+        sum(when(col("w").isNull, 0L).otherwise(1L)).as("n_tok"),
+        round(sum(coalesce(col("lam"), lit(0.0))), 6).as("log_weight6"))
   }
 }

@@ -319,4 +319,36 @@ object TextAnalysis {
       .groupBy("id").agg(count(lit(1)).as("n_bigrams"),
         round(avg(col("nll")), 6).as("nll6"))
   }
+
+  /** TF-IDF keyword extraction: the top-`k` terms of every document by
+    * `tf · ln(N/df)` (raw term frequency, unsmoothed idf — the textbook
+    * form; a term in every document scores exactly 0). Deterministic
+    * tie-break: (score desc, term asc) — both engines compute the score
+    * from the same exact integers through the same IEEE ops, so the
+    * ordering is bit-identical and the oracle can replay the ranking.
+    *
+    * Scale: tf is the standard (doc, term) counter shuffle with map-side
+    * partial agg; df is a counter-of-counters (one row per DISTINCT term —
+    * bounded by vocabulary, not corpus); the tf⋈df join keys on the term —
+    * Zipf-skewed, AQE OptimizeSkewedJoin territory, and NOT broadcast
+    * (web vocabulary is 10⁸⁺ terms); N is one broadcast scalar; the top-k
+    * is a per-document window (each doc's terms are one partition-local
+    * heap, nothing global). Output
+    * `(id, term, tf, df, score6, rank)`, rank 1-based, ≤ k rows per doc. */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.select(count_distinct(col(idCol)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score6"), col("rank"))
+  }
 }

@@ -47,6 +47,52 @@ class ClassifierSpec extends SparkSuite {
     assert(acc > 0.85, s"train-set accuracy $acc")
   }
 
+  test("DSIR weights: hand-computed λ sums, empty doc neutral, target up-ranked") {
+    // target mentions 'aa' heavily; raw is balanced; a doc of 'aa' must
+    // out-weigh a doc of 'bb'
+    val target = Seq((1L, "aa aa aa")).toDF("doc_id", "text")
+    val raw = Seq((1L, "aa aa aa"), (2L, "bb bb bb")).toDF("doc_id", "text")
+    val score = Seq((10L, "aa aa"), (11L, "bb bb"), (12L, "")).toDF("doc_id", "text")
+    val out = Classifier.dsirWeights(target, raw, score, "doc_id", "text", nBuckets = 8)
+      .orderBy("id").as[(Long, Long, Double)].collect().toSeq
+    // closed form: buckets(aa) ≠ buckets(bb) would be luck-dependent with 8
+    // buckets — compute λ from the actual bucket assignment instead
+    val b = raw.sparkSession.range(1).select(
+      org.apache.spark.sql.functions.pmod(Dedup.md5Hash32(
+        org.apache.spark.sql.functions.lit("aa"), 0), org.apache.spark.sql.functions.lit(8L)).as("ba"),
+      org.apache.spark.sql.functions.pmod(Dedup.md5Hash32(
+        org.apache.spark.sql.functions.lit("bb"), 0), org.apache.spark.sql.functions.lit(8L)).as("bb"))
+      .as[(Long, Long)].head()
+    val (ctA, ctB) = if (b._1 == b._2) (3L, 3L) else (3L, 0L)
+    def lam(ct: Long, cr: Long) =
+      math.log((ct + 1) / (3.0 + 8)) - math.log((cr + 1) / (6.0 + 8))
+    val (crA, crB) = if (b._1 == b._2) (6L, 6L) else (3L, 3L)
+    val eAA = r6(2 * lam(ctA, crA))
+    val eBB = r6(2 * lam(if (b._1 == b._2) ctA else 0L, crB))
+    assert(out === Seq((10L, 2L, eAA), (11L, 2L, eBB), (12L, 0L, 0.0)))
+    if (b._1 != b._2) assert(eAA > eBB, "target token must out-weigh raw-only token")
+  }
+
+  test("tfidf keywords: hand-computed scores, tie broken by term, k caps rows") {
+    val docs = Seq((1L, "apple apple banana"), (2L, "banana cherry"),
+      (3L, "cherry cherry cherry durian")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 3)
+      .orderBy("id", "rank").as[(Long, String, Long, Long, Double, Long)]
+      .collect().toSeq
+    val ln3 = math.log(3.0); val ln15 = math.log(1.5)
+    assert(out === Seq(
+      (1L, "apple", 2L, 1L, r6(2 * ln3), 1L),
+      (1L, "banana", 1L, 2L, r6(ln15), 2L),
+      // d2: banana and cherry tie exactly — term asc breaks it
+      (2L, "banana", 1L, 2L, r6(ln15), 1L),
+      (2L, "cherry", 1L, 2L, r6(ln15), 2L),
+      (3L, "cherry", 3L, 2L, r6(3 * ln15), 1L),
+      (3L, "durian", 1L, 1L, r6(ln3), 2L)))
+    // k caps: a 5-distinct-term doc yields exactly k rows
+    val wide = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    assert(TextAnalysis.tfidfKeywords(wide, "doc_id", "text", k = 3).count() === 3)
+  }
+
   test("naive Bayes separates fully-disjoint planted vocabularies exactly") {
     val train = (0L until 40L).map { i =>
       if (i % 2 == 0) (i, s"alpha beta gamma w$i", true)
