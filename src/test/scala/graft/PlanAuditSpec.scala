@@ -245,6 +245,37 @@ class PlanAuditSpec extends SparkSuite {
       "items bound guard dropped from the compiled validation expression")
   }
 
+  test("p42 DSIR broadcasts its fixed-size model; p40 NB never hints the vocab join") {
+    // DSIR's λ table is 64 rows BY CONSTRUCTION → the scoring join must be
+    // an explicit broadcast (not AQE luck: the hint is in the code)
+    val dsir = SparkEntry.queries("p42_dsir_weights")(spark, dir)
+    dsir.collect()
+    val dplan = planString(dsir).split("== Initial Plan ==")(0)
+    assert(dplan.contains("BroadcastHashJoin"), "DSIR λ join is not broadcast")
+    assert(!dplan.contains("CartesianProduct"))
+    // NB's model is word-keyed — UNBOUNDED vocabulary (10⁸⁺ terms on web
+    // text). An explicit broadcast hint there would collect the model to
+    // the driver at scale; the logical plan must carry NO hint on any
+    // word-keyed join (AQE may still broadcast at sf0.001 — that's fine,
+    // it's a runtime decision made from measured sizes)
+    val nb = SparkEntry.queries("p40_nb_classifier")(spark, dir)
+    val wordJoins = nb.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") && l.contains("(w#")).toSeq
+    assert(wordJoins.nonEmpty, "expected a word-keyed scoring join in the NB plan")
+    assert(wordJoins.forall(!_.contains("broadcast")),
+      "NB vocabulary join is broadcast-hinted — unbounded at scale")
+  }
+
+  test("p41 tfidf plans exactly one per-doc window and no cartesian") {
+    val df = SparkEntry.queries("p41_tfidf_keywords")(spark, dir)
+    df.collect()
+    val plan = planString(df).split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"))
+    // one Window node (the per-doc top-k); a second one would mean the
+    // rank is recomputed over a re-shuffled stream
+    assert("\\bWindow\\b".r.findAllIn(plan).size === 1, "expected exactly one Window")
+  }
+
   test("parquet-backed validation runs inside whole-stage codegen (no UDFs to break it)") {
     // `*(n)` node prefixes in the plan string = WholeStageCodegenExec spans;
     // AQE only inserts them into the FINAL plan, so execute first
