@@ -1541,6 +1541,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p43_textrank" -> ((s, dir) =>
+      // TextRank corpus keywords: 5 damped PageRank rounds over the
+      // symmetrized word-adjacency graph in exact BIGINT fixed-point
+      // (10^12 mass units) — integer mult/div/sum only, so the iterative
+      // scores are bit-identical on any shuffle order and the oracle
+      // replays the identical rounds as chained CTEs
+      graft.pipeline.Graph.textRank(t(s, dir, "documents"), "text",
+        iters = 5, topK = 20)
+        .orderBy("rank")),
+
     "p36_bpe_merges" -> ((s, dir) =>
       // distributed BPE tokenizer TRAINING (Sennrich-style, word-type
       // weighted): 6 greedy merges; the oracle replays the identical
@@ -3398,6 +3408,41 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(sc.n_tok, 0)::BIGINT AS n_tok,
         |  round(coalesce(sc.s, 0.0), 6) AS log_weight6
         |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "p43_textrank" -> {
+      // identical fixed-point rounds: base = 10^12 // N, contribution
+      // (fp * w) // strength, damped update ((85 * Σ) // 100) — all
+      // integer, so every intermediate matches the engine exactly
+      val iters = 5
+      val rounds = (1 to iters).map { i =>
+        s"""c$i AS (SELECT e.dst AS word, sum((s.fp * e.w) // str.st)::BIGINT AS c
+           |  FROM edges e JOIN s${i - 1} s ON s.word = e.src
+           |  JOIN str ON str.src = e.src GROUP BY e.dst),
+           |s$i AS (SELECT nodes.word,
+           |  ((((1000000000000 // nn.n) * 15) // 100)
+           |    + (85 * coalesce(c$i.c, 0)) // 100)::BIGINT AS fp
+           |  FROM nodes CROSS JOIN nn
+           |  LEFT JOIN c$i ON c$i.word = nodes.word)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |    x -> len(x) > 0) AS ws FROM documents),
+         |pr AS (SELECT ws[i] AS a, ws[i + 1] AS b FROM d
+         |  CROSS JOIN unnest(range(1, len(ws))) u(i) WHERE ws[i] <> ws[i + 1]),
+         |e0 AS (SELECT a, b, count(*) AS n FROM pr GROUP BY a, b),
+         |edges AS (SELECT src, dst, sum(n)::BIGINT AS w FROM (
+         |    SELECT a AS src, b AS dst, n FROM e0
+         |    UNION ALL SELECT b AS src, a AS dst, n FROM e0) ee GROUP BY src, dst),
+         |str AS (SELECT src, sum(w)::BIGINT AS st FROM edges GROUP BY src),
+         |nodes AS (SELECT DISTINCT src AS word FROM edges),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |s0 AS (SELECT word, (1000000000000 // nn.n)::BIGINT AS fp
+         |       FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT rank, word, score_fp FROM (
+         |  SELECT word, fp AS score_fp,
+         |    (row_number() OVER (ORDER BY fp DESC, word))::BIGINT AS rank
+         |  FROM s$iters) r WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
 
     "p36_bpe_merges" -> {
       val k = 6
