@@ -985,6 +985,23 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s09_ann_pq" -> ((s, dir) => {
+      // product-quantization ANN (FAISS IndexPQ + ADC): 8 subspaces × 16
+      // codewords (codebook = first-16 subvectors — the deterministic
+      // k-means stand-in, same pattern as ivfCentroids); the shortlist
+      // scan reads ONLY the 8-code arrays (32× less bandwidth than the
+      // float column at 100 TB), each point costs 8 table lookups, and
+      // the top-20 re-rank exactly on the floats. adc6 pins the PQ
+      // approximation itself, sim6 the re-rank.
+      val emb = t(s, dir, "embeddings")
+      Similarity.topKPq(emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
+          dims = 64, k = 5, shortlist = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc"), 6).as("adc6"), round(col("cosine"), 6).as("sim6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "m01_media_meta" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractMeta(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
@@ -2724,6 +2741,57 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY c_raw DESC, neighbor_id) AS rank FROM rer)
         |SELECT query_id, neighbor_id, sim6, rank FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "s09_ann_pq" ->
+      // identical subspace slices, hoisted sub-norms, d2 = an2 − 2⟨a,b⟩ +
+      // bn2 in the same association order, (d2, cid) argmin, flat distance
+      // table indexed [sub·16 + code], sequential-fold ADC — every double
+      // is bit-identical to the engine, so shortlist and ranks agree
+      """WITH seeds AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+        |    embedding AS vec
+        |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16) z),
+        |cb AS (SELECT s AS sub, cid, vec[s*8 + 1 : s*8 + 8] AS cvec
+        |       FROM seeds CROSS JOIN unnest(range(8)) u(s)),
+        |cb2 AS (SELECT sub, cid, cvec,
+        |  list_aggregate(list_transform(cvec, x -> x::DOUBLE * x::DOUBLE), 'sum') AS bn2
+        |  FROM cb),
+        |sv AS (SELECT vec_id AS id, s AS sub, embedding[s*8 + 1 : s*8 + 8] AS sv
+        |       FROM embeddings CROSS JOIN unnest(range(8)) u(s)),
+        |sv2 AS (SELECT id, sub, sv,
+        |  list_aggregate(list_transform(sv, x -> x::DOUBLE * x::DOUBLE), 'sum') AS an2
+        |  FROM sv),
+        |d AS (SELECT id, sv2.sub AS sub, cid,
+        |  an2 - 2.0 * list_aggregate(list_transform(range(1, 9),
+        |    i -> sv[i]::DOUBLE * cvec[i]::DOUBLE), 'sum') + bn2 AS d2
+        |  FROM sv2 JOIN cb2 ON sv2.sub = cb2.sub),
+        |amin AS (SELECT id, sub, cid, d2,
+        |  row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS r FROM d),
+        |codes AS (SELECT id, list(cid ORDER BY sub) AS codes
+        |          FROM amin WHERE r = 1 GROUP BY id),
+        |dtq AS (SELECT id AS query_id, list(d2 ORDER BY sub, cid) AS dt
+        |        FROM d WHERE id < 8 GROUP BY id),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv,
+        |  sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), 'sum')) AS qn
+        |  FROM embeddings WHERE vec_id < 8),
+        |adc AS (SELECT dtq.query_id, c.id AS neighbor_id,
+        |  list_aggregate(list_transform(range(1, 9),
+        |    s -> dt[(s - 1) * 16 + codes[s] + 1]), 'sum') AS adc
+        |  FROM codes c CROSS JOIN dtq WHERE dtq.query_id <> c.id),
+        |short AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY adc, neighbor_id) AS r FROM adc),
+        |rer AS (SELECT s.query_id, s.neighbor_id, s.adc,
+        |  list_aggregate(list_transform(range(1, len(qv) + 1),
+        |    i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum')
+        |   / nullif(qn * sqrt(list_aggregate(list_transform(e.embedding,
+        |       x -> x::DOUBLE * x::DOUBLE), 'sum')), 0) AS c_raw
+        |  FROM short s JOIN q ON q.query_id = s.query_id
+        |  JOIN embeddings e ON e.vec_id = s.neighbor_id WHERE s.r <= 20),
+        |ranked AS (SELECT query_id, neighbor_id, round(adc, 6) AS adc6,
+        |  round(c_raw, 6) AS sim6,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY c_raw DESC, neighbor_id) AS rank FROM rer)
+        |SELECT query_id, neighbor_id, adc6, sim6, rank::BIGINT AS rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

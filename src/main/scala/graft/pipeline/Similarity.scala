@@ -493,4 +493,112 @@ object Similarity {
     Dedup.connectedComponentsStar(pairs.select(col("id_a"), col("id_b")))
       .withColumn("keep", col("id") === col("component"))
   }
+
+  // ----------------------------------------------------------------- PQ
+
+  /** Product-quantization codebook (FAISS `IndexPQ` layout): the vector
+    * space splits into `m` contiguous subspaces of `dims/m` dims; each
+    * subspace gets `ksub` codewords. Codewords here are the subvectors of
+    * the first `ksub` vectors by id — the deterministic, engine-portable
+    * stand-in for k-means training (the assignment/ADC machinery below is
+    * identical whichever way the codebook was trained; plug a trained one
+    * in at scale exactly like [[ivfCentroidsTrained]] vs [[ivfCentroids]]).
+    * Output `(sub, cid, cvec, bn2)` — m·ksub rows, always broadcast. */
+  def pqCodebook(train: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int): DataFrame = {
+    require(m > 0 && dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val dsub = dims / m
+    val w = Window.orderBy(col("id"))
+    val seeds = train.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .orderBy("id").limit(ksub)
+      .select((row_number().over(w) - 1).cast("int").as("cid"), col("vec"))
+    seeds.select(col("cid"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col("vec"), lit(s * dsub + 1), lit(dsub)).as("cvec"))): _*)).as("e"))
+      .select(col("e.sub").as("sub"), col("cid"), col("e.cvec").as("cvec"))
+      .withColumn("bn2", dot(col("cvec"), col("cvec")))
+  }
+
+  /** Per-row subspace explosion `(id, sub, sv, an2)` — the shared front of
+    * encode and query-table build. The sub-norm `an2` is projected BEFORE
+    * the codebook join so it folds once per subvector, not once per
+    * (subvector × codeword) — joins don't collapse child projections. */
+  private def pqSubvectors(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, dsub: Int): DataFrame =
+    df.select(col(idCol).as("id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"),
+          slice(col(vecCol), lit(s * dsub + 1), lit(dsub)).as("sv"))): _*)).as("e"))
+      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+      .withColumn("an2", dot(col("sv"), col("sv")))
+
+  /** Encode the corpus to PQ codes `(id, codes array<int>)` — m bytes-ish
+    * per vector instead of dims floats (the 100 TB lever: a 64-dim float
+    * corpus shrinks 32×; the ADC scan below never touches the floats).
+    *
+    * Shape: explode to m subvectors, join the BROADCAST codebook, compute
+    * `d2 = an2 − 2·⟨sv,cv⟩ + bn2` with both norms hoisted (per-pair
+    * re-folds measured ~5× on the cosine paths), then ONE
+    * partial-aggregated `min(struct(d2, cid))` argmin per (id, sub) — the
+    * map side collapses the ksub fan-out before the shuffle — and one
+    * position-ordered reassembly groupBy (the [[sq8Codes]] pattern). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, dsub: Int): DataFrame =
+    pqSubvectors(df, idCol, vecCol, m, dsub)
+      .join(broadcast(codebook), "sub")
+      .select(col("id"), col("sub"), col("cid"),
+        (col("an2") - lit(2.0) * dot(col("sv"), col("cvec")) + col("bn2")).as("d2"))
+      .groupBy("id", "sub")
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .groupBy("id")
+      .agg(collect_list(struct(col("sub"), col("best.cid").as("c"))).as("sc"))
+      .select(col("id"),
+        transform(array_sort(col("sc")), p => p.getField("c")).as("codes"))
+
+  /** Per-query ADC distance table, flattened `(query_id, dt)` with
+    * `dt[sub·ksub + cid + 1] = ‖q_sub − cv(sub,cid)‖²` — m·ksub doubles per
+    * query, built once and broadcast into the scan. */
+  def pqDistTables(queries: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, dsub: Int): DataFrame =
+    pqSubvectors(queries, idCol, vecCol, m, dsub)
+      .join(broadcast(codebook), "sub")
+      .select(col("id").as("query_id"), col("sub"), col("cid"),
+        (col("an2") - lit(2.0) * dot(col("sv"), col("cvec")) + col("bn2")).as("d2"))
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("sub"), col("cid"), col("d2"))).as("ds"))
+      .select(col("query_id"),
+        transform(array_sort(col("ds")), p => p.getField("d2")).as("dt"))
+
+  /** PQ ANN with exact float re-rank (FAISS ADC): the shortlist scan reads
+    * ONLY the m-byte codes, scoring each point with m table lookups —
+    * `adc = Σ_sub dt[sub·ksub + code]` (sequential fold, engine-portable) —
+    * then the top `shortlist` per query re-rank exactly on the float
+    * vectors. Same output contract as [[topKSq8]] plus `adc` (the
+    * approximate L2², pinnable by an oracle). */
+  def topKPq(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dims: Int, k: Int, shortlist: Int,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val dsub = dims / m
+    val cb = pqCodebook(corpus, idCol, vecCol, dims, m, ksub)
+    val codes = pqEncode(corpus, idCol, vecCol, cb, m, dsub)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val dts = pqDistTables(queries, idCol, vecCol, cb, m, dsub).join(q, "query_id")
+    val scored = codes.crossJoin(broadcast(dts))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("__qv"), col("__qn"),
+        aggregate(
+          transform(col("codes"),
+            (c, i) => element_at(col("dt"), i * lit(ksub) + c + lit(1))),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+    val ws = Window.partitionBy("query_id").orderBy(col("adc").asc, col("neighbor_id"))
+    val cand = scored.withColumn("__r", row_number().over(ws))
+      .where(col("__r") <= shortlist)
+    val v = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+    val reranked = cand.join(v, cand("neighbor_id") === v("__id"))
+      .select(col("query_id"), col("neighbor_id"), col("adc"),
+        (dot(col("__qv"), col("__v")) / nullif(col("__qn") * col("__n"), lit(0.0))).as("cosine"))
+    val wr = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    reranked.withColumn("rank", row_number().over(wr)).where(col("rank") <= k)
+  }
 }

@@ -498,6 +498,34 @@ class PipelineSpec extends SparkSuite {
     assert(codes.count() === emb001.count())
   }
 
+  test("PQ/ADC search: codes are m ints in [0,ksub), shortlist recall tracks brute force") {
+    val queries = emb001.where(col("vec_id") < 8)
+    val exact = Similarity.topKBruteForce(queries, emb001, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.topKPq(queries, emb001, "vec_id", "embedding",
+        dims = 64, k = 5, shortlist = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    info(s"PQ recall@5 (shortlist 20) = $recall")
+    // seeded (untrained) 16-codeword books are coarse; the re-rank floor
+    // still has to clear chance by a wide margin
+    assert(recall >= 0.5, s"PQ recall@5 = $recall")
+    // widening the shortlist must not lose recall (monotone contract)
+    val pq60 = Similarity.topKPq(queries, emb001, "vec_id", "embedding",
+        dims = 64, k = 5, shortlist = 60)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall60 = (exact intersect pq60).size.toDouble / exact.size
+    info(s"PQ recall@5 (shortlist 60) = $recall60")
+    assert(recall60 >= recall)
+    // the artifact really is m small codes per vector
+    val cb = Similarity.pqCodebook(emb001, "vec_id", "embedding", dims = 64, m = 8, ksub = 16)
+    assert(cb.count() === 8L * 16L)
+    val codes = Similarity.pqEncode(emb001, "vec_id", "embedding", cb, m = 8, dsub = 8)
+    assert(codes.count() === emb001.count())
+    val arrs = codes.select("codes").as[Seq[Int]].collect()
+    assert(arrs.forall(a => a.length == 8 && a.forall(c => c >= 0 && c < 16)))
+  }
+
   test("trained IVF centroids (Lloyd's) keep recall@5 >= 0.9 at nprobe=4 and assign every vector") {
     val queries = emb001.where(col("vec_id") < 8)
     val exact = Similarity.topKBruteForce(queries, emb001, "vec_id", "embedding", k = 5)
