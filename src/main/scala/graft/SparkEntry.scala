@@ -1568,6 +1568,13 @@ object SparkEntry {
         iters = 5, topK = 20)
         .orderBy("rank")),
 
+    "p44_zipf_fit" -> ((s, dir) =>
+      // corpus-health Zipf diagnostic: ln-ln least squares over the top-100
+      // word frequencies — per-row lns rounded to 9 (libm-ulp immunity),
+      // regression sums in exact DECIMAL, final divisions mirrored
+      // expression-for-expression by the oracle
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topRanks = 100)),
+
     "p36_bpe_merges" -> ((s, dir) =>
       // distributed BPE tokenizer TRAINING (Sennrich-style, word-type
       // weighted): 6 greedy merges; the oracle replays the identical
@@ -3476,6 +3483,26 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(sc.n_tok, 0)::BIGINT AS n_tok,
         |  round(coalesce(sc.s, 0.0), 6) AS log_weight6
         |FROM d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "p44_zipf_fit" ->
+      """WITH w0 AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> len(x) > 0)) AS w FROM documents),
+        |f AS (SELECT w, count(*)::BIGINT AS c FROM w0 GROUP BY w),
+        |tot AS (SELECT count(*)::BIGINT AS n_types, sum(c)::BIGINT AS n_tokens FROM f),
+        |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank
+        |        FROM (SELECT * FROM f ORDER BY c DESC, w LIMIT 100) z),
+        |t2 AS (SELECT round(ln(rank::DOUBLE), 9) AS x,
+        |              round(ln(c::DOUBLE), 9) AS y FROM top),
+        |t3 AS (SELECT x, y, round(x * x, 9) AS xx, round(x * y, 9) AS xy FROM t2),
+        |s AS (SELECT count(*)::DOUBLE AS r,
+        |  sum(x::DECIMAL(28,12))::DOUBLE AS sx, sum(y::DECIMAL(28,12))::DOUBLE AS sy,
+        |  sum(xx::DECIMAL(28,12))::DOUBLE AS sxx, sum(xy::DECIMAL(28,12))::DOUBLE AS sxy
+        |  FROM t3)
+        |SELECT n_types, n_tokens, r::BIGINT AS n_ranks,
+        |  round((r * sxy - sx * sy) / (r * sxx - sx * sx), 6) AS slope6,
+        |  round((sy - ((r * sxy - sx * sy) / (r * sxx - sx * sx)) * sx) / r, 6) AS intercept6
+        |FROM tot CROSS JOIN s""".stripMargin,
 
     "p43_textrank" -> {
       // identical fixed-point rounds: base = 10^12 // N, contribution

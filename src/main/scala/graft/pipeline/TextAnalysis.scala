@@ -351,4 +351,48 @@ object TextAnalysis {
       .select(col("id"), col("term"), col("tf"), col("df"),
         round(col("score"), 6).as("score6"), col("rank"))
   }
+
+  /** Zipf's-law diagnostic: least-squares slope/intercept of
+    * ln(freq) ~ ln(rank) over the top `topRanks` word frequencies, plus
+    * corpus type/token totals. A healthy natural-language corpus fits
+    * slope ≈ −1; synthetic, boilerplate-heavy, or template-generated text
+    * bends the curve — a cheap corpus-health gate next to the per-doc
+    * Gopher gates (p15/p16).
+    *
+    * Scale: the frequency table is the vocabulary counter shuffle
+    * (map-side combine); the top-R cut is `orderBy.limit` — a distributed
+    * TakeOrdered (per-partition heaps, no global sort or window over the
+    * 10⁸-term vocabulary); ranks come from a window over the R surviving
+    * rows only. Determinism: per-row `ln` values are rounded to 9 decimals
+    * (absorbing any libm last-ulp differences), the regression sums run in
+    * DECIMAL (exact, order-independent), and only the final slope/intercept
+    * divisions happen in doubles — same expression shape as the oracle, so
+    * bit-identical. Output one row:
+    * `(n_types, n_tokens, n_ranks, slope6, intercept6)`. */
+  def zipfFit(df: DataFrame, textCol: String, topRanks: Int = 100): DataFrame = {
+    val freq = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val totals = freq.agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"))
+    val top = freq.orderBy(col("c").desc, col("w")).limit(topRanks)
+      .select(col("c"), row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w"))).as("rank"))
+    val terms = top
+      .select(round(log(col("rank").cast("double")), 9).as("x"),
+        round(log(col("c").cast("double")), 9).as("y"))
+      .select(col("x"), col("y"),
+        round(col("x") * col("x"), 9).as("xx"),
+        round(col("x") * col("y"), 9).as("xy"))
+    val sums = terms.agg(count(lit(1)).cast("double").as("r"),
+      sum(col("x").cast("decimal(28,12)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(28,12)")).cast("double").as("sy"),
+      sum(col("xx").cast("decimal(28,12)")).cast("double").as("sxx"),
+      sum(col("xy").cast("decimal(28,12)")).cast("double").as("sxy"))
+    val slope = (col("r") * col("sxy") - col("sx") * col("sy")) /
+      (col("r") * col("sxx") - col("sx") * col("sx"))
+    totals.crossJoin(sums)
+      .select(col("n_types"), col("n_tokens"),
+        col("r").cast("long").as("n_ranks"),
+        round(slope, 6).as("slope6"),
+        round((col("sy") - slope * col("sx")) / col("r"), 6).as("intercept6"))
+  }
 }

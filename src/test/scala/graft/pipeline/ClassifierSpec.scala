@@ -93,6 +93,19 @@ class ClassifierSpec extends SparkSuite {
     assert(TextAnalysis.tfidfKeywords(wide, "doc_id", "text", k = 3).count() === 3)
   }
 
+  test("zipfFit recovers slope ~ -1 on a planted 1/rank corpus and is partition-invariant") {
+    // word w_i occurs ceil(2000/i) times, i = 1..80 → ln(freq) ≈ ln(2000) − ln(rank)
+    val text = (1 to 80).flatMap(i => Seq.fill((2000 + i - 1) / i)(f"w$i%03d")).mkString(" ")
+    val df = Seq(text).toDF("text")
+    val row = TextAnalysis.zipfFit(df, "text", topRanks = 80).head()
+    assert(row.getLong(0) === 80L)      // n_types
+    assert(row.getLong(2) === 80L)      // n_ranks
+    val slope = row.getDouble(3)
+    assert(slope > -1.05 && slope < -0.95, s"slope6 = $slope")
+    val again = TextAnalysis.zipfFit(df.repartition(5), "text", topRanks = 80).head()
+    assert(again === row, "zipfFit must be bit-identical across partitionings")
+  }
+
   test("naive Bayes separates fully-disjoint planted vocabularies exactly") {
     val train = (0L until 40L).map { i =>
       if (i % 2 == 0) (i, s"alpha beta gamma w$i", true)
