@@ -1575,6 +1575,25 @@ object SparkEntry {
       // expression-for-expression by the oracle
       TextAnalysis.zipfFit(t(s, dir, "documents"), "text", topRanks = 100)),
 
+    "p45_incremental_dedup" -> ((s, dir) => {
+      // snapshot-to-snapshot dedup (the daily-ingestion form): corpus =
+      // doc_id % 3 != 0, batch = the rest, plus planted existing-copies
+      // (+200000 → dup_existing) and batch-internal copies (+300000 →
+      // dup_incoming); only the batch flows through the pipeline, the
+      // corpus contributes its fingerprint index
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val existing = docs.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch0 = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      val batch = batch0
+        .unionByName(existing.where(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + lit(200000L)))
+        .unionByName(batch0.where(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + lit(300000L)))
+      Dedup.incrementalDedup(existing, batch, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("fp"), col("status"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     "p36_bpe_merges" -> ((s, dir) =>
       // distributed BPE tokenizer TRAINING (Sennrich-style, word-type
       // weighted): 6 greedy merges; the oracle replays the identical
@@ -3503,6 +3522,26 @@ object SparkEntry {
         |  round((r * sxy - sx * sy) / (r * sxx - sx * sx), 6) AS slope6,
         |  round((sy - ((r * sxy - sx * sy) / (r * sxx - sx * sx)) * sx) / r, 6) AS intercept6
         |FROM tot CROSS JOIN s""".stripMargin,
+
+    "p45_incremental_dedup" ->
+      """WITH ex AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents
+        |    WHERE doc_id % 3 <> 0 AND doc_id < 10
+        |  UNION ALL SELECT doc_id + 300000, text FROM documents
+        |    WHERE doc_id % 3 = 0 AND doc_id < 10),
+        |fpx AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |        FROM ex),
+        |fpi AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |        FROM inc),
+        |fst AS (SELECT fp, min(doc_id) AS first_id FROM fpi GROUP BY fp),
+        |cls AS (SELECT doc_id, fpi.fp AS fp,
+        |  CASE WHEN fpi.fp IN (SELECT fp FROM fpx) THEN 'dup_existing'
+        |       WHEN doc_id <> first_id THEN 'dup_incoming'
+        |       ELSE 'new' END AS status
+        |  FROM fpi JOIN fst ON fpi.fp = fst.fp)
+        |SELECT doc_id, fp, status, (status = 'new') AS keep
+        |FROM cls ORDER BY doc_id""".stripMargin,
 
     "p43_textrank" -> {
       // identical fixed-point rounds: base = 10^12 // N, contribution

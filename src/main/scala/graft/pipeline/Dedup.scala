@@ -49,6 +49,38 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
       .where(col("n") > 1)
 
+  /** Incremental (snapshot-to-snapshot) exact dedup — the form a daily
+    * ingestion pipeline actually runs: only the NEW batch is classified,
+    * against (a) the accumulated corpus and (b) itself. Output one row per
+    * incoming document: `(id, fp, status, keep)` with status
+    * `dup_existing` (fingerprint already in the corpus — always dropped),
+    * `dup_incoming` (first seen in this batch, but not the batch's
+    * lowest-id holder), or `new` (the kept representative).
+    *
+    * Scale: at 10¹² docs the `existing` side is the persisted fingerprint
+    * INDEX (one 16-byte hash per retained doc — the [[exactDupGroups]]
+    * artifact's key column, hash-bucketed on disk), not a corpus rescan;
+    * both joins and the first-occurrence `min` key on the md5 fingerprint,
+    * which is uniform BY CONSTRUCTION (a 128-bit hash has no Zipf mass —
+    * occurrence skew lands in the partial-aggregated min, where the map
+    * side collapses it before the shuffle). Only the incoming batch — the
+    * small side — flows through the pipeline. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val exFp = existing
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    val inc = incoming.select(col(idCol).as("id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val firstIn = inc.groupBy("fp").agg(min("id").as("first_id"))
+    inc.join(exFp.withColumn("__ex", lit(1)), Seq("fp"), "left")
+      .join(firstIn, "fp")
+      .select(col("id"), col("fp"),
+        when(col("__ex").isNotNull, lit("dup_existing"))
+          .when(col("id") =!= col("first_id"), lit("dup_incoming"))
+          .otherwise(lit("new")).as("status"))
+      .withColumn("keep", col("status") === "new")
+  }
+
   /** Distinct k-word shingles per document (lower-cased, whitespace
     * tokenized). `(id, shingle)` exploded — the inverted-index input. */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {

@@ -498,6 +498,25 @@ class PipelineSpec extends SparkSuite {
     assert(codes.count() === emb001.count())
   }
 
+  test("incrementalDedup classifies batch docs against corpus, batch, or as new") {
+    val existing = Seq((1L, "old doc one"), (2L, "old doc two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "old doc one"),   // dup_existing (even though 10 < nothing in batch shares it)
+      (11L, "fresh thing"),   // new
+      (12L, "fresh thing"),   // dup_incoming (11 is first)
+      (13L, "OLD   DOC TWO"), // dup_existing via normalization
+      (14L, "another")        // new
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(existing, batch, "doc_id", "text")
+      .select("id", "status").as[(Long, String)].collect().toMap
+    assert(out === Map(10L -> "dup_existing", 11L -> "new", 12L -> "dup_incoming",
+      13L -> "dup_existing", 14L -> "new"))
+    // only `new` rows are kept, and every batch row is classified
+    val kept = Dedup.incrementalDedup(existing, batch, "doc_id", "text")
+      .where(col("keep")).select("id").as[Long].collect().toSet
+    assert(kept === Set(11L, 14L))
+  }
+
   test("PQ/ADC search: codes are m ints in [0,ksub), shortlist recall tracks brute force") {
     val queries = emb001.where(col("vec_id") < 8)
     val exact = Similarity.topKBruteForce(queries, emb001, "vec_id", "embedding", k = 5)
