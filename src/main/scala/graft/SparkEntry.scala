@@ -1125,6 +1125,21 @@ object SparkEntry {
         .orderBy("window_start")
     }),
 
+    "st07_stream_refjoin" -> ((s, dir) => {
+      // stream-static referential check as a REAL stream (same replay
+      // harness as st03-st06): events stream left-joins the broadcast
+      // customer-key dimension (keys % 7 == 0 withheld to force missing
+      // refs), watermark-closed hourly windows emit exact counters
+      val stream = stagedEventStream(s, dir, "st07_events")
+      val dim = t(s, dir, "customer").where(pmod(col("c_custkey"), lit(7)) =!= 0)
+      runToMemorySink(s, graft.streaming.StreamingValidate
+          .windowedReferential(stream, dim, "user_id", "c_custkey",
+            "ts", "1 hour", "30 minutes"), "st07_sink")
+        .select(col("window_start").cast("long").as("window_start"),
+          col("n_rows"), col("n_missing"), col("verdict"))
+        .orderBy("window_start")
+    }),
+
     "st06_stream_quantile_digest" -> ((s, dir) => {
       // the t-digest as a STREAMING sketch (same replay harness as
       // st03-st05): one digest row per closed 4-hour window. The digest
@@ -2861,6 +2876,20 @@ object SparkEntry {
         |  CASE WHEN value > 450 THEN 1 ELSE 0 END AS failed FROM events)
         |SELECT ws AS window_start, count(*) AS n_rows, sum(failed)::BIGINT AS n_failed,
         | CASE WHEN sum(failed) = 0 THEN 'pass' ELSE 'fail' END AS verdict
+        |FROM w, mx WHERE ws + 3600 <= epoch(m) - 1800
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "st07_stream_refjoin" ->
+      // closed-window predicate as st03; membership mirrors the withheld
+      // % 7 == 0 dimension keys
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+        |w AS (SELECT CAST(floor(epoch(ts)/3600) AS BIGINT)*3600 AS ws,
+        |  CASE WHEN user_id IN (SELECT c_custkey FROM customer
+        |                        WHERE c_custkey % 7 <> 0)
+        |       THEN 0 ELSE 1 END AS miss FROM events)
+        |SELECT ws AS window_start, count(*) AS n_rows,
+        |  sum(miss)::BIGINT AS n_missing,
+        |  CASE WHEN sum(miss) = 0 THEN 'pass' ELSE 'fail' END AS verdict
         |FROM w, mx WHERE ws + 3600 <= epoch(m) - 1800
         |GROUP BY ws ORDER BY ws""".stripMargin,
 

@@ -100,6 +100,29 @@ object StreamingValidate {
         when(col("n_failed") === 0, "pass").otherwise("fail").as("verdict"))
   }
 
+  /** Stream-static referential membership — the streaming face of
+    * [[graft.global.Referential]]: every micro-batch left-joins the STATIC
+    * allowed-keys dimension (broadcast, re-resolved per batch — Spark's
+    * stream-static join never puts the dimension in the state store, so a
+    * large dim costs the broadcast, not checkpoint space), and the
+    * watermark-closed tumbling windows emit exact counters.
+    * Output `(window_start, n_rows, n_missing, verdict)` in append mode —
+    * counters-only state, same contract as [[windowedVerdicts]]. */
+  def windowedReferential(stream: DataFrame, dim: DataFrame, keyCol: String,
+      dimKeyCol: String, tsCol: String, windowDuration: String,
+      watermark: String): DataFrame = {
+    val allowed = broadcast(dim.select(col(dimKeyCol).as("__k")).distinct()
+      .withColumn("__ok", lit(1)))
+    stream.withWatermark(tsCol, watermark)
+      .join(allowed, col(keyCol) === col("__k"), "left")
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__ok").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .select(col("window.start").as("window_start"), col("n_rows"),
+        col("n_missing"),
+        when(col("n_missing") === 0, "pass").otherwise("fail").as("verdict"))
+  }
+
   /** Tumbling-window BOUNDED violation sampling — the streaming face of
     * [[graft.core.Violations.sampleViolations]]: per closed window and
     * rule, the exact violation count plus a deterministic ≤ `perRuleK`

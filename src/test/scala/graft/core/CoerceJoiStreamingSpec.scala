@@ -177,6 +177,37 @@ class CoerceJoiStreamingSpec extends SparkSuite {
     assert(got.count() > 100)
   }
 
+  test("streaming stream-static referential equals the batch twin on closed windows") {
+    // the e2e contract behind st07: same windowedReferential computation,
+    // once as a file-source stream, once as a batch plan — the static
+    // dimension side is identical in both, so closed windows must agree
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .where(pmod(col("c_custkey"), lit(7)) =!= 0)
+
+    val q = StreamingValidate.windowedReferential(stream, dim, "user_id",
+        "c_custkey", "ts", "5 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sref_e2e")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sref_e2e")
+
+    val all = StreamingValidate.windowedReferential(batch, dim, "user_id",
+      "c_custkey", "ts", "5 minutes", "1 minute")
+    assert(got.except(all).count() === 0)
+    val maxTs = batch.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val tail = all.except(got)
+    assert(tail.where(col("window_start").cast("long") * 1000 < maxTs - 60000L - 300000L).count() === 0)
+    assert(got.count() > 100)
+    // withheld keys really do surface: at least one closed window fails
+    assert(got.where(col("verdict") === "fail").count() > 0)
+  }
+
   test("streaming windowed histograms equal the batch sketch; PSI composes on top") {
     // the drift-monitor contract behind st02: the stream emits per-window
     // (bin, n) counters; counts are exact ints, so closed windows must be
