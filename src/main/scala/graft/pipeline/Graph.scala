@@ -82,17 +82,25 @@ object Graph {
 
     var scores = nodes.withColumn("score_fp", lit(base))
     for (_ <- 1 to iters) {
-      val contrib = ew.join(scores.withColumnRenamed("id", "src"), "src")
-        .groupBy("dst")
-        .agg(sum(expr("(score_fp * w) div st")).as("c"))
-      scores = nodes
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
-          (lit(teleport) +
-            expr(s"($dampPct * coalesce(c, 0L)) div 100")).as("score_fp"))
-        .localCheckpoint()
+      scores = pagerankRound(ew, nodes, scores, teleport, dampPct).localCheckpoint()
     }
     scores
+  }
+
+  /** One Pregel message round, checkpoint-free (isolated so plan audits can
+    * inspect the real per-iteration shape): join scores onto the
+    * strength-carrying edge table, partial-aggregate contributions by
+    * destination, apply teleport + damping. */
+  private[graft] def pagerankRound(ew: DataFrame, nodes: DataFrame,
+      scores: DataFrame, teleport: Long, dampPct: Int): DataFrame = {
+    val contrib = ew.join(scores.withColumnRenamed("id", "src"), "src")
+      .groupBy("dst")
+      .agg(sum(expr("(score_fp * w) div st")).as("c"))
+    nodes
+      .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+      .select(col("id"),
+        (lit(teleport) +
+          expr(s"($dampPct * coalesce(c, 0L)) div 100")).as("score_fp"))
   }
 
   /** TextRank corpus keywords: PageRank over the word co-occurrence graph

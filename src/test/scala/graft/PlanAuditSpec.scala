@@ -276,6 +276,58 @@ class PlanAuditSpec extends SparkSuite {
     assert("\\bWindow\\b".r.findAllIn(plan).size === 1, "expected exactly one Window")
   }
 
+  test("p43 pagerank round: no broadcast hint on the vocab-keyed join, partial-agg message step") {
+    // the scores table is vocab-sized — UNBOUNDED on web text — so the
+    // iteration join must carry no broadcast hint (same contract as p40's
+    // NB vocabulary join); the contribution groupBy must partial-aggregate
+    // (HashAggregate with a partial mode, map-side combine). Audited on
+    // the checkpoint-free round, where the plan is visible.
+    import org.apache.spark.sql.functions.{col, lit}
+    val edges = spark.range(1000).selectExpr("concat('w', id % 97) AS src",
+      "concat('w', (id * 7) % 97) AS dst", "1L AS w")
+    val strength = edges.groupBy("src").agg(org.apache.spark.sql.functions.sum("w").as("st"))
+    val ew = edges.join(strength, "src")
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val scores = nodes.withColumn("score_fp", lit(1000000L))
+    val round = graft.pipeline.Graph.pagerankRound(ew, nodes, scores, 10L, 85)
+    assert(!round.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "pagerank iteration join is broadcast-hinted")
+    round.collect()
+    val phys = planString(round).split("== Initial Plan ==")(0)
+    assert(!phys.contains("CartesianProduct"))
+    assert(phys.contains("HashAggregate"), "expected partial-aggregated contribution step")
+    // and the end-to-end query stays cartesian-free
+    val df = SparkEntry.queries("p43_textrank")(spark, dir)
+    df.collect()
+    assert(!planString(df).contains("CartesianProduct"))
+  }
+
+  test("s09 PQ: codebook and distance tables broadcast; scan side joins nothing big") {
+    val df = SparkEntry.queries("s09_ann_pq")(spark, dir)
+    df.collect()
+    val plan = planString(df).split("== Initial Plan ==")(0)
+    assert(!plan.contains("CartesianProduct"),
+      "PQ ADC scan must be a broadcast nested loop over the tiny query side, not a cartesian")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "codebook/distance-table sides are not broadcast")
+    assert(!plan.contains("SortMergeJoin"), "PQ path should never sort-merge at this shape")
+  }
+
+  test("p44/p45: zipf top-ranks is a TakeOrdered (no vocab-wide window); incremental dedup is window-free") {
+    val zipf = SparkEntry.queries("p44_zipf_fit")(spark, dir)
+    zipf.collect()
+    val zplan = planString(zipf).split("== Initial Plan ==")(0)
+    assert(zplan.contains("TakeOrderedAndProject"),
+      "top-R cut must be a distributed TakeOrdered, not a global sort")
+    // exactly one Window is allowed: ranks over the <= topRanks survivors
+    assert("\\bWindow\\b".r.findAllIn(zplan).size <= 1)
+    val inc = SparkEntry.queries("p45_incremental_dedup")(spark, dir)
+    inc.collect()
+    val iplan = planString(inc).split("== Initial Plan ==")(0)
+    assert(!iplan.contains("Window"), "first-occurrence must be the partial-agg min, not a window")
+    assert(!iplan.contains("CartesianProduct"))
+  }
+
   test("parquet-backed validation runs inside whole-stage codegen (no UDFs to break it)") {
     // `*(n)` node prefixes in the plan string = WholeStageCodegenExec spans;
     // AQE only inserts them into the FINAL plan, so execute first
