@@ -1002,6 +1002,21 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "s10_ann_ivfpq" -> ((s, dir) => {
+      // IVF-PQ composed (FAISS IndexIVFPQ): coarse quantizer = 16 lowest-id
+      // vectors, 4 probes; RESIDUALS are PQ-encoded (8×16 book seeded from
+      // the first non-centroid ids); per-(query,cell) ADC tables on the
+      // query residual; top-20 re-rank exactly. The production 100 TB ANN
+      // shape: scan cost ≈ N·nprobe/nlist over a 32×-smaller artifact.
+      val emb = t(s, dir, "embeddings")
+      Similarity.topKIvfPq(emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
+          dims = 64, k = 5, nlist = 16, nprobe = 4, shortlist = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc"), 6).as("adc6"), round(col("cosine"), 6).as("sim6"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "m01_media_meta" -> ((s, dir) => {
       import s.implicits._
       Multimodal.extractMeta(Multimodal.fromText(t(s, dir, "documents"), "doc_id", "text"))
@@ -2833,6 +2848,83 @@ object SparkEntry {
         |    ORDER BY c_raw DESC, neighbor_id) AS rank FROM rer)
         |SELECT query_id, neighbor_id, adc6, sim6, rank::BIGINT AS rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "s10_ann_ivfpq" -> {
+      def dotSql(a: String, b: String) =
+        s"list_aggregate(list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), 'sum')"
+      def nrmSql(a: String) =
+        s"sqrt(list_aggregate(list_transform($a, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+      // s04's IVF fragment composed with s09's PQ fragment over RESIDUALS;
+      // every double mirrors the engine's expression shape exactly
+      s"""WITH c AS (SELECT vec_id AS ccid, embedding AS ccvec, ${nrmSql("embedding")} AS ccnrm
+         |           FROM embeddings ORDER BY vec_id LIMIT 16),
+         |v AS (SELECT vec_id AS id, embedding AS vec, ${nrmSql("embedding")} AS nrm FROM embeddings),
+         |aff AS (SELECT id, vec, nrm, ccid, ${dotSql("vec", "ccvec")} / nullif(nrm * ccnrm, 0) AS aff
+         |        FROM v CROSS JOIN c),
+         |assigned AS (SELECT id, vec, cell FROM (
+         |  SELECT id, vec, ccid AS cell,
+         |    row_number() OVER (PARTITION BY id ORDER BY aff DESC, ccid) AS rn FROM aff) t
+         |  WHERE rn = 1),
+         |res AS (SELECT id, cell, list_transform(range(1, len(vec) + 1),
+         |    i -> vec[i]::DOUBLE - ccvec[i]::DOUBLE) AS res
+         |  FROM assigned JOIN c ON cell = ccid),
+         |seeds AS (SELECT (row_number() OVER (ORDER BY id)) - 1 AS cid, res AS svec
+         |  FROM (SELECT * FROM res WHERE id >= 16 ORDER BY id LIMIT 16) z),
+         |cb AS (SELECT s AS sub, cid, svec[s*8 + 1 : s*8 + 8] AS cvec
+         |       FROM seeds CROSS JOIN unnest(range(8)) u(s)),
+         |cb2 AS (SELECT sub, cid, cvec,
+         |  list_aggregate(list_transform(cvec, x -> x::DOUBLE * x::DOUBLE), 'sum') AS bn2 FROM cb),
+         |sv AS (SELECT id, s AS sub, res[s*8 + 1 : s*8 + 8] AS sv
+         |       FROM res CROSS JOIN unnest(range(8)) u(s)),
+         |sv2 AS (SELECT id, sub, sv,
+         |  list_aggregate(list_transform(sv, x -> x::DOUBLE * x::DOUBLE), 'sum') AS an2 FROM sv),
+         |d AS (SELECT id, sv2.sub AS sub, cid,
+         |  an2 - 2.0 * list_aggregate(list_transform(range(1, 9),
+         |    i -> sv[i]::DOUBLE * cvec[i]::DOUBLE), 'sum') + bn2 AS d2
+         |  FROM sv2 JOIN cb2 ON sv2.sub = cb2.sub),
+         |amin AS (SELECT id, sub, cid,
+         |  row_number() OVER (PARTITION BY id, sub ORDER BY d2, cid) AS r FROM d),
+         |codes AS (SELECT a.id AS id, asg.cell AS cell, list(a.cid ORDER BY a.sub) AS codes
+         |          FROM amin a JOIN assigned asg ON a.id = asg.id
+         |          WHERE a.r = 1 GROUP BY a.id, asg.cell),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec, ${nrmSql("embedding")} AS qnrm
+         |      FROM embeddings WHERE vec_id < 8),
+         |qaff AS (SELECT qid, ccid, ${dotSql("qvec", "ccvec")} / nullif(qnrm * ccnrm, 0) AS aff
+         |         FROM q CROSS JOIN c),
+         |probes AS (SELECT qid, ccid AS cell FROM (
+         |  SELECT qid, ccid, row_number() OVER (PARTITION BY qid ORDER BY aff DESC, ccid) AS pr
+         |  FROM qaff) t WHERE pr <= 4),
+         |qres AS (SELECT qid, cell, list_transform(range(1, len(qvec) + 1),
+         |    i -> qvec[i]::DOUBLE - ccvec[i]::DOUBLE) AS qres
+         |  FROM probes JOIN c ON cell = ccid JOIN q USING (qid)),
+         |qsv AS (SELECT qid, cell, s AS sub, qres[s*8 + 1 : s*8 + 8] AS sv
+         |        FROM qres CROSS JOIN unnest(range(8)) u(s)),
+         |qsv2 AS (SELECT qid, cell, sub, sv,
+         |  list_aggregate(list_transform(sv, x -> x::DOUBLE * x::DOUBLE), 'sum') AS an2 FROM qsv),
+         |qd AS (SELECT qid, cell, qsv2.sub AS sub, cid,
+         |  an2 - 2.0 * list_aggregate(list_transform(range(1, 9),
+         |    i -> sv[i]::DOUBLE * cvec[i]::DOUBLE), 'sum') + bn2 AS d2
+         |  FROM qsv2 JOIN cb2 ON qsv2.sub = cb2.sub),
+         |dtq AS (SELECT qid, cell, list(d2 ORDER BY sub, cid) AS dt FROM qd GROUP BY qid, cell),
+         |adc AS (SELECT dtq.qid AS query_id, codes.id AS neighbor_id,
+         |  list_aggregate(list_transform(range(1, 9),
+         |    s -> dt[(s - 1) * 16 + codes[s] + 1]), 'sum') AS adc
+         |  FROM codes JOIN dtq ON codes.cell = dtq.cell WHERE dtq.qid <> codes.id),
+         |short AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adc, neighbor_id) AS r FROM adc),
+         |rer AS (SELECT sh.query_id, sh.neighbor_id, sh.adc,
+         |  list_aggregate(list_transform(range(1, len(qvec) + 1),
+         |    i -> qvec[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum')
+         |   / nullif(qnrm * ${nrmSql("e.embedding")}, 0) AS c_raw
+         |  FROM short sh JOIN q ON q.qid = sh.query_id
+         |  JOIN embeddings e ON e.vec_id = sh.neighbor_id WHERE sh.r <= 20),
+         |ranked AS (SELECT query_id, neighbor_id, round(adc, 6) AS adc6,
+         |  round(c_raw, 6) AS sim6,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY c_raw DESC, neighbor_id) AS rank FROM rer)
+         |SELECT query_id, neighbor_id, adc6, sim6, rank::BIGINT AS rank
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
 
     "m01_media_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

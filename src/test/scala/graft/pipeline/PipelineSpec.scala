@@ -545,6 +545,23 @@ class PipelineSpec extends SparkSuite {
     assert(arrs.forall(a => a.length == 8 && a.forall(c => c >= 0 && c < 16)))
   }
 
+  test("IVF-PQ: recall within probed cells tracks IVF-flat; residual book is non-degenerate") {
+    val queries = emb001.where(col("vec_id") < 8)
+    // IVF-flat with the same quantizer/probes = the recall CEILING for
+    // IVF-PQ (same candidate cells, exact scoring); the PQ+re-rank path
+    // must stay close to it
+    val flat = Similarity.topKIvf(queries, emb001, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Similarity.topKIvfPq(queries, emb001, "vec_id", "embedding",
+        dims = 64, k = 5, nlist = 16, nprobe = 4, shortlist = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (flat intersect ivfpq).size.toDouble / flat.size
+    info(s"IVF-PQ recall@5 vs IVF-flat = $recall")
+    assert(recall >= 0.5, s"IVF-PQ recall vs IVF-flat = $recall")
+    assert(ivfpq.size === flat.size)
+  }
+
   test("trained IVF centroids (Lloyd's) keep recall@5 >= 0.9 at nprobe=4 and assign every vector") {
     val queries = emb001.where(col("vec_id") < 8)
     val exact = Similarity.topKBruteForce(queries, emb001, "vec_id", "embedding", k = 5)
