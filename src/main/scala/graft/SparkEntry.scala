@@ -224,6 +224,27 @@ object SparkEntry {
         .select("o_orderkey", "path", "rule_id", "observed")
         .orderBy("o_orderkey", "path")),
 
+    "v50_delta_validate" -> ((s, dir) => {
+      // the resume contract as an oracle LAW: validate(committed snapshot)
+      // + validate(delta), merged by counter ADDITION, must equal
+      // validate(full) — the oracle computes the full-corpus counts
+      // directly, so a double-counted partition or a missed delta row
+      // hash-mismatches. Only the delta flows through rule evaluation at
+      // resume time (at scale the split is SnapshotStore's partition
+      // manifest, and the committed side's counts come from its metrics
+      // table, not a rescan); the merge is a per-rule counter union.
+      val li = t(s, dir, "lineitem")
+      val committed = li.where(pmod(col("l_orderkey"), lit(5)) =!= 4)
+      val delta = li.where(pmod(col("l_orderkey"), lit(5)) === 4)
+      val oldC = Violations.ruleCounts(
+        Violations.validate(committed, lineitemPack, Seq("l_orderkey")))
+      val deltaC = Violations.ruleCounts(
+        Violations.validate(delta, lineitemPack, Seq("l_orderkey")))
+      oldC.unionByName(deltaC).groupBy("path", "rule_id")
+        .agg(sum(col("n_violations")).as("n_violations"))
+        .orderBy("path", "rule_id")
+    }),
+
     "v03_unique_dup_keys" -> ((s, dir) =>
       // hash-first scale path; result identical to the direct groupBy (and
       // to the oracle's GROUP BY … HAVING)
@@ -2106,6 +2127,18 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "v01_rule_counts_lineitem" ->
+      """SELECT * FROM (
+        | SELECT '/l_quantity' AS path, 'maximum' AS rule_id, count(*) AS n_violations FROM lineitem WHERE l_quantity > 45
+        | UNION ALL SELECT '/l_quantity', 'minimum', count(*) FROM lineitem WHERE l_quantity < 1
+        | UNION ALL SELECT '/l_discount', 'maximum', count(*) FROM lineitem WHERE l_discount > 0.05
+        | UNION ALL SELECT '/l_tax', 'maximum', count(*) FROM lineitem WHERE l_tax > 0.1
+        | UNION ALL SELECT '/l_returnflag', 'enum', count(*) FROM lineitem WHERE l_returnflag NOT IN ('A','N')
+        | UNION ALL SELECT '/l_linestatus', 'enum', count(*) FROM lineitem WHERE l_linestatus NOT IN ('O','F')
+        |) t WHERE n_violations > 0 ORDER BY path, rule_id""".stripMargin,
+
+    "v50_delta_validate" ->
+      // the FULL corpus counted directly — committed+delta merging must
+      // reproduce this exactly (count additivity)
       """SELECT * FROM (
         | SELECT '/l_quantity' AS path, 'maximum' AS rule_id, count(*) AS n_violations FROM lineitem WHERE l_quantity > 45
         | UNION ALL SELECT '/l_quantity', 'minimum', count(*) FROM lineitem WHERE l_quantity < 1
