@@ -1587,6 +1587,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "p46_classifier_pr" -> ((s, dir) => {
+      // classifier calibration sweep: exact confusion counts per threshold
+      // over the p40 NB scores vs their own training labels — the
+      // standard quality-filter tuning table (pick the threshold, read off
+      // precision/recall). One scan + a 9-way literal explode + a counter
+      // groupBy; ratios are single-row divisions of exact ints.
+      val docs = t(s, dir, "documents")
+      val train = docs.select(col("doc_id"), col("text"),
+        col("text").like("%spark%").as("y"))
+      val scored = Classifier.nbClassify(train, docs, "doc_id", "text", "y")
+        .join(train.select(col("doc_id").as("id"), col("y")), "id")
+      scored.select(col("score6"), col("y"),
+          explode(typedLit((-20L to 20L by 5L).toSeq)).as("thr"))
+        .groupBy("thr").agg(
+          sum(when(col("score6") >= col("thr") && col("y"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("score6") >= col("thr") && !col("y"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("score6") < col("thr") && col("y"), 1L).otherwise(0L)).as("fn"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"),
+          round(col("tp").cast("double") /
+            nullif((col("tp") + col("fp")).cast("double"), lit(0.0)), 6).as("precision6"),
+          round(col("tp").cast("double") /
+            nullif((col("tp") + col("fn")).cast("double"), lit(0.0)), 6).as("recall6"))
+        .orderBy("thr")
+    }),
+
     "p41_tfidf_keywords" -> ((s, dir) =>
       // textbook tf·ln(N/df) keyword extraction, top-3 per doc with the
       // (score desc, term asc) tie-break both engines replay bit-identically;
@@ -2060,6 +2085,37 @@ object SparkEntry {
 
   /** DuckDB regex note: RE2 syntax; '\\s' etc. are literal backslashes in
     * single-quoted SQL strings (DuckDB does not process escapes). */
+  /** NB scoring oracle, shared by p40 (per-doc scores) and p46 (the
+    * precision/recall sweep over the same scores). */
+  private val nbClassifierOracle: String =
+    """WITH d AS (SELECT doc_id, text, (text LIKE '%spark%') AS y FROM documents),
+          |w0 AS (SELECT doc_id, y, list_filter(
+          |         string_split_regex(lower(trim(text)), '\s+'),
+          |         x -> len(x) > 0) AS ws FROM d),
+          |tw AS (SELECT y, unnest(ws) AS w FROM w0),
+          |cw AS (SELECT w, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS c1,
+          |              sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS c0
+          |       FROM tw GROUP BY w),
+          |tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM cw),
+          |pri AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS d1,
+          |               sum(CASE WHEN y THEN 0 ELSE 1 END) AS d0 FROM d),
+          |odds AS (SELECT w, ln((c1 + 1)::DOUBLE / (n1 + v)::DOUBLE)
+          |                 - ln((c0 + 1)::DOUBLE / (n0 + v)::DOUBLE) AS o
+          |         FROM cw CROSS JOIN tot),
+          |sw AS (SELECT doc_id, unnest(ws) AS w FROM w0),
+          |sc AS (SELECT sw.doc_id, count(*)::BIGINT AS n_tok,
+          |         sum(coalesce(odds.o,
+          |           ln((n0 + v)::DOUBLE) - ln((n1 + v)::DOUBLE))) AS s
+          |       FROM sw CROSS JOIN tot LEFT JOIN odds USING (w)
+          |       GROUP BY sw.doc_id)
+          |SELECT d.doc_id, coalesce(sc.n_tok, 0)::BIGINT AS n_tok,
+          |  round(ln(d1::DOUBLE) - ln(d0::DOUBLE) + coalesce(sc.s, 0.0), 6)
+          |    AS score6,
+          |  (round(ln(d1::DOUBLE) - ln(d0::DOUBLE) + coalesce(sc.s, 0.0), 6)
+          |    > 0) AS predicted
+          |FROM d CROSS JOIN pri LEFT JOIN sc USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q01_pricing_summary" ->
@@ -3586,34 +3642,26 @@ object SparkEntry {
          |WHERE ($agree) >= 8 ORDER BY train_id, bench_id""".stripMargin
     },
 
-    "p40_nb_classifier" ->
-      """WITH d AS (SELECT doc_id, text, (text LIKE '%spark%') AS y FROM documents),
-        |w0 AS (SELECT doc_id, y, list_filter(
-        |         string_split_regex(lower(trim(text)), '\s+'),
-        |         x -> len(x) > 0) AS ws FROM d),
-        |tw AS (SELECT y, unnest(ws) AS w FROM w0),
-        |cw AS (SELECT w, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS c1,
-        |              sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS c0
-        |       FROM tw GROUP BY w),
-        |tot AS (SELECT sum(c1) AS n1, sum(c0) AS n0, count(*) AS v FROM cw),
-        |pri AS (SELECT sum(CASE WHEN y THEN 1 ELSE 0 END) AS d1,
-        |               sum(CASE WHEN y THEN 0 ELSE 1 END) AS d0 FROM d),
-        |odds AS (SELECT w, ln((c1 + 1)::DOUBLE / (n1 + v)::DOUBLE)
-        |                 - ln((c0 + 1)::DOUBLE / (n0 + v)::DOUBLE) AS o
-        |         FROM cw CROSS JOIN tot),
-        |sw AS (SELECT doc_id, unnest(ws) AS w FROM w0),
-        |sc AS (SELECT sw.doc_id, count(*)::BIGINT AS n_tok,
-        |         sum(coalesce(odds.o,
-        |           ln((n0 + v)::DOUBLE) - ln((n1 + v)::DOUBLE))) AS s
-        |       FROM sw CROSS JOIN tot LEFT JOIN odds USING (w)
-        |       GROUP BY sw.doc_id)
-        |SELECT d.doc_id, coalesce(sc.n_tok, 0)::BIGINT AS n_tok,
-        |  round(ln(d1::DOUBLE) - ln(d0::DOUBLE) + coalesce(sc.s, 0.0), 6)
-        |    AS score6,
-        |  (round(ln(d1::DOUBLE) - ln(d0::DOUBLE) + coalesce(sc.s, 0.0), 6)
-        |    > 0) AS predicted
-        |FROM d CROSS JOIN pri LEFT JOIN sc USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+    "p40_nb_classifier" -> nbClassifierOracle,
+
+    "p46_classifier_pr" ->
+      // precision/recall sweep over the SAME NB scoring (shared oracle
+      // fragment) — counts are exact integers per threshold, ratios are
+      // single-row divisions of exact ints
+      s"""WITH lab AS (SELECT doc_id, (text LIKE '%spark%') AS y FROM documents),
+         |j AS (SELECT b.score6, lab.y FROM ($nbClassifierOracle) b
+         |      JOIN lab USING (doc_id)),
+         |g AS (SELECT score6, y, thr FROM j CROSS JOIN unnest(range(-20, 25, 5)) u(thr)),
+         |agg AS (SELECT thr,
+         |  sum(CASE WHEN score6 >= thr AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |  sum(CASE WHEN score6 >= thr AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |  sum(CASE WHEN score6 < thr AND y THEN 1 ELSE 0 END)::BIGINT AS fn
+         |  FROM g GROUP BY thr)
+         |SELECT thr::BIGINT AS thr, tp, fp, fn,
+         |  round(tp::DOUBLE / nullif((tp + fp)::DOUBLE, 0), 6) AS precision6,
+         |  round(tp::DOUBLE / nullif((tp + fn)::DOUBLE, 0), 6) AS recall6
+         |FROM agg ORDER BY thr""".stripMargin,
+
 
     "p41_tfidf_keywords" ->
       """WITH w0 AS (SELECT doc_id, unnest(list_filter(
