@@ -3,7 +3,7 @@ package graft
 import graft.core.{Rule, Violations}
 import graft.core.Rule._
 import graft.global.{Referential, Uniqueness}
-import graft.pipeline.{Classifier, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis, Vocab}
+import graft.pipeline.{Classifier, Dedup, Multimodal, Packing, RangeJoin, Sampling, Similarity, TextAnalysis, Vocab}
 import graft.stats.{ColumnStats, Drift, PackInference}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1722,6 +1722,30 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_distinct_chars"),
           round(col("entropy"), 6).as("entropy6"))
         .orderBy("doc_id")),
+
+    "q14_range_join" -> ((s, dir) => {
+      import s.implicits._
+      // bucketized interval join (1-day buckets): events fall into
+      // promotional windows of wildly different lengths — overlapping,
+      // sub-bucket, multi-day, and empty. The equi-join on the bucket is
+      // plan-guarded (no nested loop); counts + id extremes + id sum pin
+      // the full match set without emitting every pair.
+      val windows = Seq(
+        (1L, "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+        (2L, "2024-01-01 12:00:00", "2024-01-03 06:00:00"),
+        (3L, "2024-01-05 00:00:00", "2024-01-05 00:30:00"),
+        (4L, "2024-01-10 00:00:00", "2024-01-17 00:00:00"),
+        (5L, "2024-02-01 00:00:00", "2024-02-01 00:00:00")
+      ).toDF("window_id", "ws", "we")
+        .select(col("window_id"), col("ws").cast("timestamp").as("w_start"),
+          col("we").cast("timestamp").as("w_end"))
+      RangeJoin.joinPointInInterval(t(s, dir, "events"), "ts",
+          windows, "w_start", "w_end", bucketSeconds = 86400L)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"), sum(col("event_id")).as("sum_event_ids"))
+        .orderBy("window_id")
+    }),
 
     "q13_asof_join" -> ((s, dir) => {
       // point-in-time join: each event picks the customer's latest order at
@@ -3887,6 +3911,20 @@ object SparkEntry {
         | round(-sum((c::DOUBLE / n::DOUBLE) * ln(c::DOUBLE / n::DOUBLE)), 6) AS entropy6
         |FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q14_range_join" ->
+      """WITH w(window_id, w_start, w_end) AS (VALUES
+        |  (1, TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-02 00:00:00'),
+        |  (2, TIMESTAMP '2024-01-01 12:00:00', TIMESTAMP '2024-01-03 06:00:00'),
+        |  (3, TIMESTAMP '2024-01-05 00:00:00', TIMESTAMP '2024-01-05 00:30:00'),
+        |  (4, TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-17 00:00:00'),
+        |  (5, TIMESTAMP '2024-02-01 00:00:00', TIMESTAMP '2024-02-01 00:00:00')),
+        |j AS (SELECT window_id, event_id FROM events JOIN w
+        |      ON ts >= w_start AND ts < w_end)
+        |SELECT window_id::BIGINT AS window_id, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event,
+        |  sum(event_id)::BIGINT AS sum_event_ids
+        |FROM j GROUP BY window_id ORDER BY window_id""".stripMargin,
 
     "q13_asof_join" ->
       """WITH ord AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey

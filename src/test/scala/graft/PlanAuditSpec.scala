@@ -328,6 +328,22 @@ class PlanAuditSpec extends SparkSuite {
     assert(!iplan.contains("CartesianProduct"))
   }
 
+  test("q14 range join plans an equi-join on the bucket — never a nested loop") {
+    // a raw `ts >= start AND ts < end` predicate becomes
+    // BroadcastNestedLoopJoin (O(points × intervals) compares); the
+    // bucketized form must keep the join equi (hash or sort-merge or
+    // broadcast-HASH — all fine), with the range predicate as a
+    // post-filter
+    val df = SparkEntry.queries("q14_range_join")(spark, dir)
+    df.collect()
+    val plan = planString(df).split("== Initial Plan ==")(0)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "range join degenerated to a nested loop")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), "expected an equi join on the bucket")
+  }
+
   test("parquet-backed validation runs inside whole-stage codegen (no UDFs to break it)") {
     // `*(n)` node prefixes in the plan string = WholeStageCodegenExec spans;
     // AQE only inserts them into the FINAL plan, so execute first

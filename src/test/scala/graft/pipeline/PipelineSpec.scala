@@ -498,6 +498,29 @@ class PipelineSpec extends SparkSuite {
     assert(codes.count() === emb001.count())
   }
 
+  test("range join: [start, end) boundaries, overlaps, empty intervals, bucket straddles") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")),  // == start of A → in
+      (2L, ts("2024-01-02 00:00:00")),  // == end of A → out; == start of B → in
+      (3L, ts("2024-01-01 23:59:59")),  // last second of A
+      (4L, ts("2024-03-01 00:00:00"))   // in nothing
+    ).toDF("pid", "t")
+    val ivs = Seq(
+      ("A", ts("2024-01-01 00:00:00"), ts("2024-01-02 00:00:00")),
+      ("B", ts("2024-01-02 00:00:00"), ts("2024-01-05 00:00:00")),  // overlaps nothing of A
+      ("C", ts("2024-01-01 12:00:00"), ts("2024-01-03 00:00:00")),  // straddles buckets, overlaps A+B
+      ("E", ts("2024-02-01 00:00:00"), ts("2024-02-01 00:00:00"))   // empty
+    ).toDF("iv", "s", "e")
+    val got = RangeJoin.joinPointInInterval(points, "t", ivs, "s", "e", 86400L)
+      .select("pid", "iv").as[(Long, String)].collect().toSet
+    assert(got === Set(1L -> "A", 3L -> "A", 2L -> "B", 3L -> "C", 2L -> "C"))
+    // bucket size must not change the answer (only the replication factor)
+    val small = RangeJoin.joinPointInInterval(points, "t", ivs, "s", "e", 3600L)
+      .select("pid", "iv").as[(Long, String)].collect().toSet
+    assert(small === got)
+  }
+
   test("incrementalDedup classifies batch docs against corpus, batch, or as new") {
     val existing = Seq((1L, "old doc one"), (2L, "old doc two")).toDF("doc_id", "text")
     val batch = Seq(
