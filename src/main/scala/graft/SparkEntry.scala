@@ -1176,6 +1176,22 @@ object SparkEntry {
         .orderBy("window_start")
     }),
 
+    "st08_stream_interval_join" -> ((s, dir) => {
+      // stream-stream event-time interval join as a REAL stream (same
+      // replay harness): view → purchase attribution within 1 hour per
+      // user; both sides watermarked so join state is horizon-bounded.
+      // Inner-join pairs emit exactly the batch self-join set.
+      val stream = stagedEventStream(s, dir, "st08_events")
+      runToMemorySink(s, graft.streaming.StreamingValidate
+          .intervalJoinPairs(stream, "ts", "user_id", "event_type",
+            "event_id", "view", "purchase", horizonSeconds = 3600L,
+            watermark = "30 minutes"), "st08_sink")
+        .select(col("key").as("user_id"), col("a_id").as("view_id"),
+          col("a_ts").cast("long").as("view_ts"),
+          col("b_id").as("purchase_id"), col("b_ts").cast("long").as("purchase_ts"))
+        .orderBy("user_id", "view_id", "purchase_id")
+    }),
+
     "st06_stream_quantile_digest" -> ((s, dir) => {
       // the t-digest as a STREAMING sketch (same replay harness as
       // st03-st05): one digest row per closed 4-hour window. The digest
@@ -3083,6 +3099,18 @@ object SparkEntry {
         | CASE WHEN sum(failed) = 0 THEN 'pass' ELSE 'fail' END AS verdict
         |FROM w, mx WHERE ws + 3600 <= epoch(m) - 1800
         |GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "st08_stream_interval_join" ->
+      // inner stream-stream pairs = the batch self-join, no window closing
+      // involved (pairs emit on match)
+      """SELECT a.user_id, a.event_id AS view_id,
+        |  floor(epoch(a.ts))::BIGINT AS view_ts,
+        |  b.event_id AS purchase_id, floor(epoch(b.ts))::BIGINT AS purchase_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_type = 'view'
+        |  AND b.event_type = 'purchase' AND b.ts > a.ts
+        |  AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |ORDER BY a.user_id, view_id, purchase_id""".stripMargin,
 
     "st07_stream_refjoin" ->
       // closed-window predicate as st03; membership mirrors the withheld

@@ -100,6 +100,32 @@ object StreamingValidate {
         when(col("n_failed") === 0, "pass").otherwise("fail").as("verdict"))
   }
 
+  /** Stream-stream event-time interval join — the remaining structured-
+    * streaming join face: pairs each `fromType` event with the same key's
+    * `toType` events landing within `(ts, ts + horizonSeconds]` (conversion
+    * attribution / causal windows). BOTH sides are watermarked and the join
+    * condition bounds event-time distance, which is exactly what lets Spark
+    * GC join state: a buffered `fromType` row is dropped once the other
+    * side's watermark passes its horizon, so state is O(events inside one
+    * horizon), never the stream. Inner join — pairs emit as they match;
+    * the emitted SET equals the batch self-join (pinned by the oracle and
+    * the e2e spec), append-mode safe. */
+  def intervalJoinPairs(stream: DataFrame, tsCol: String, keyCol: String,
+      typeCol: String, idCol: String, fromType: String, toType: String,
+      horizonSeconds: Long, watermark: String): DataFrame = {
+    val a = stream.where(col(typeCol) === fromType)
+      .select(col(keyCol).as("a_key"), col(idCol).as("a_id"), col(tsCol).as("a_ts"))
+      .withWatermark("a_ts", watermark)
+    val b = stream.where(col(typeCol) === toType)
+      .select(col(keyCol).as("b_key"), col(idCol).as("b_id"), col(tsCol).as("b_ts"))
+      .withWatermark("b_ts", watermark)
+    a.join(b, col("a_key") === col("b_key") &&
+      col("b_ts") > col("a_ts") &&
+      col("b_ts") <= col("a_ts") + expr(s"INTERVAL $horizonSeconds SECONDS"))
+      .select(col("a_key").as("key"), col("a_id"), col("a_ts"),
+        col("b_id"), col("b_ts"))
+  }
+
   /** Stream-static referential membership — the streaming face of
     * [[graft.global.Referential]]: every micro-batch left-joins the STATIC
     * allowed-keys dimension (broadcast, re-resolved per batch — Spark's

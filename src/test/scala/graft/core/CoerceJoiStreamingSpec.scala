@@ -208,6 +208,36 @@ class CoerceJoiStreamingSpec extends SparkSuite {
     assert(got.where(col("verdict") === "fail").count() > 0)
   }
 
+  test("stream-stream interval join emits exactly the batch self-join pairs") {
+    // the e2e contract behind st08: inner stream-stream pairs emit on
+    // match, so with AvailableNow the full set equals the batch twin —
+    // not just the watermark-closed prefix
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+    val q = StreamingValidate.intervalJoinPairs(stream, "ts", "user_id",
+        "event_type", "event_id", "view", "purchase", 3600L, "30 minutes")
+      .writeStream.format("memory").queryName("sij_e2e")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sij_e2e").select("key", "a_id", "b_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val want = batch.as("a").join(batch.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") === "view" && col("b.event_type") === "purchase" &&
+        col("b.ts") > col("a.ts") &&
+        col("b.ts") <= col("a.ts") + expr("INTERVAL 3600 SECONDS"))
+      .select(col("a.user_id"), col("a.event_id"), col("b.event_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming windowed histograms equal the batch sketch; PSI composes on top") {
     // the drift-monitor contract behind st02: the stream emits per-window
     // (bin, n) counters; counts are exact ints, so closed windows must be
