@@ -1511,6 +1511,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bigrams"), col("nll6"))
         .orderBy("doc_id")),
 
+    "v51_profile_diff" -> ((s, dir) => {
+      // schema drift caught at profile time, BEFORE validation: the new
+      // snapshot plants a new enum value (lang 'xx' on doc_id % 97), nulls
+      // in source (% 50), and one widened n_chars outlier (doc 0); the
+      // report's enum deltas / null counts / bounds flag exactly those
+      val docs = t(s, dir, "documents")
+      val newSnap = docs
+        .withColumn("lang",
+          when(pmod(col("doc_id"), lit(97)) === 0, lit("xx")).otherwise(col("lang")))
+        .withColumn("source",
+          when(pmod(col("doc_id"), lit(50)) === 0, lit(null).cast("string"))
+            .otherwise(col("source")))
+        .withColumn("n_chars",
+          when(col("doc_id") === 0, lit(100000L)).otherwise(col("n_chars")))
+      PackInference.profileDiff(docs, newSnap, Seq("lang", "source", "n_chars"))
+        .orderBy("column")
+    }),
+
     "v33_pack_inference" -> ((s, dir) =>
       // rule-pack INFERENCE: the one-pass profile artifact a new corpus's
       // first pack derives from (types from schema, bounds from data,
@@ -3596,6 +3614,39 @@ object SparkEntry {
         |      FROM bi JOIN bc USING (bi) JOIN uc USING (w1) CROSS JOIN v)
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS nll6
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "v51_profile_diff" -> {
+      def added(c: String, from: String, vs: String) =
+        s"""CASE WHEN (SELECT count(DISTINCT $c) FROM $from) <= 16 THEN
+           | (SELECT coalesce(to_json(list_sort(list(DISTINCT v)))::VARCHAR, '[]')
+           |  FROM (SELECT $c AS v FROM $from WHERE $c IS NOT NULL
+           |        AND $c NOT IN (SELECT $c FROM $vs WHERE $c IS NOT NULL)) z)
+           | ELSE NULL END""".stripMargin
+      def row(c: String, numeric: Boolean) = {
+        val (mno, mnn, mxo, mxn) =
+          if (numeric) (s"(SELECT min($c)::DOUBLE FROM o)", s"(SELECT min($c)::DOUBLE FROM n)",
+            s"(SELECT max($c)::DOUBLE FROM o)", s"(SELECT max($c)::DOUBLE FROM n)")
+          else ("NULL::DOUBLE", "NULL::DOUBLE", "NULL::DOUBLE", "NULL::DOUBLE")
+        val (ad, rm) =
+          if (numeric) ("NULL::VARCHAR", "NULL::VARCHAR")
+          else (added(c, "n", "o"), added(c, "o", "n"))
+        s"""SELECT '$c' AS "column",
+           | (SELECT (count(*) - count($c))::BIGINT FROM o) AS n_null_old,
+           | (SELECT (count(*) - count($c))::BIGINT FROM n) AS n_null_new,
+           | (SELECT count(DISTINCT $c)::BIGINT FROM o) AS n_distinct_old,
+           | (SELECT count(DISTINCT $c)::BIGINT FROM n) AS n_distinct_new,
+           | $mno AS min_old, $mnn AS min_new, $mxo AS max_old, $mxn AS max_new,
+           | $ad AS enum_added, $rm AS enum_removed""".stripMargin
+      }
+      s"""WITH o AS (SELECT lang, source, n_chars FROM documents),
+         |n AS (SELECT CASE WHEN doc_id % 97 = 0 THEN 'xx' ELSE lang END AS lang,
+         |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE source END AS source,
+         |  CASE WHEN doc_id = 0 THEN 100000 ELSE n_chars END AS n_chars
+         |  FROM documents)
+         |${Seq(row("lang", false), row("source", false), row("n_chars", true))
+            .mkString("\nUNION ALL ")}
+         |ORDER BY "column"""".stripMargin
+    },
 
     "v33_pack_inference" -> {
       def num(c: String, jt: String) =

@@ -119,6 +119,39 @@ object PackInference {
     df.sparkSession.createDataFrame(rows.asJava, profileSchema)
   }
 
+  /** Schema-drift report between two corpus snapshots: both sides run the
+    * SAME [[inferredProfile]] pass (one global aggregate each — the whole
+    * diff costs two profile scans and a per-column join of two
+    * column-count-sized artifacts), joined per column with enum-set
+    * deltas. The operational question it answers at ingest time: did the
+    * new snapshot introduce values, nulls, or ranges the committed pack
+    * would reject — BEFORE running full validation.
+    *
+    * Output one row per column:
+    * `(column, n_null_old/new, n_distinct_old/new, min_old/new,
+    * max_old/new, enum_added, enum_removed)` — the enum deltas are
+    * JSON-rendered sorted arrays (NULL when the side is not
+    * enum-qualified; `[]` when qualified and unchanged). */
+  def profileDiff(oldDf: DataFrame, newDf: DataFrame, cols: Seq[String],
+      enumThreshold: Int = 16): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      inferredProfile(df, cols, enumThreshold).select(col("column"),
+        col("n_null").as(s"n_null_$tag"), col("n_distinct").as(s"n_distinct_$tag"),
+        col("min_num").as(s"min_$tag"), col("max_num").as(s"max_$tag"),
+        col("enum_vals").as(s"__enum_$tag"))
+    val j = side(oldDf, "old").join(side(newDf, "new"), "column")
+    def arr(c: String) = from_json(col(c), ArrayType(StringType))
+    def delta(a: String, b: String) = when(col(a).isNotNull,
+      to_json(array_sort(array_except(arr(a),
+        coalesce(arr(b), array().cast("array<string>"))))))
+    j.select(col("column"),
+      col("n_null_old"), col("n_null_new"),
+      col("n_distinct_old"), col("n_distinct_new"),
+      col("min_old"), col("min_new"), col("max_old"), col("max_new"),
+      delta("__enum_new", "__enum_old").as("enum_added"),
+      delta("__enum_old", "__enum_new").as("enum_removed"))
+  }
+
   /** Robust numeric bounds for inference: percentiles at `(loQ, hiQ)`
     * instead of min/max — one corrupted outlier row cannot stretch the
     * inferred range to cover future garbage (the min/max pack would

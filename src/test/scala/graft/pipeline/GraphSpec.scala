@@ -54,6 +54,32 @@ class GraphSpec extends SparkSuite {
     assert(ranked.map(_.getLong(0)).toSeq == (1L to ranked.length).toSeq)
   }
 
+  test("pagerank equals a driver-side reference fold on random graphs (exact integers)") {
+    // fixed-point arithmetic means the distributed result must EQUAL a
+    // sequential reference implementation — not approximately, exactly
+    val rnd = new scala.util.Random(42)
+    val n = 40
+    val edgeSeq = (0 until 160).map { _ =>
+      (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}", 1L + rnd.nextInt(5))
+    }.filter { case (a, b, _) => a != b }.distinct
+    val edges = edgeSeq.toDF("src", "dst", "w")
+    val got = Graph.pagerank(edges, "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // reference: same formula, Map-based
+    val nodes = (edgeSeq.map(_._1) ++ edgeSeq.map(_._2)).distinct.sorted
+    val strength = edgeSeq.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = Graph.fpScale / nodes.size
+    val teleport = base * 15L / 100L
+    var s = nodes.map(_ -> base).toMap
+    for (_ <- 1 to 4) {
+      val in = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      edgeSeq.foreach { case (a, b, w) => in(b) += s(a) * w / strength(a) }
+      s = nodes.map(v => v -> (teleport + 85L * in(v) / 100L)).toMap
+    }
+    assert(got === s)
+  }
+
   test("textRank is deterministic across runs and repartitionings") {
     val docs = (0 until 50).map(i => s"alpha beta w$i gamma ${"delta " * (i % 3)}")
       .toDF("text")

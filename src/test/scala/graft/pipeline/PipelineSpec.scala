@@ -521,6 +521,24 @@ class PipelineSpec extends SparkSuite {
     assert(small === got)
   }
 
+  test("range join equals the naive non-equi join on random data") {
+    val rnd = new scala.util.Random(7)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(off: Long) = new java.sql.Timestamp(base + off * 1000)
+    val points = (0 until 300).map(i => (i.toLong, ts(rnd.nextInt(400000).toLong)))
+      .toDF("pid", "t")
+    val ivs = (0 until 40).map { i =>
+      val s = rnd.nextInt(350000).toLong
+      (i.toLong, ts(s), ts(s + 1 + rnd.nextInt(90000)))
+    }.toDF("iv", "s", "e")
+    val got = RangeJoin.joinPointInInterval(points, "t", ivs, "s", "e", 3600L)
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    val naive = points.join(ivs, col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "iv").as[(Long, Long)].collect().toSet
+    assert(got === naive)
+    assert(naive.nonEmpty)
+  }
+
   test("incrementalDedup classifies batch docs against corpus, batch, or as new") {
     val existing = Seq((1L, "old doc one"), (2L, "old doc two")).toDF("doc_id", "text")
     val batch = Seq(
