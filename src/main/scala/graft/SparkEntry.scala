@@ -1067,6 +1067,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "m06_image_resize" -> ((s, _) => {
+      import s.implicits._
+      // REAL pixel decode + nearest-neighbor resize: the 4×4 subsample's
+      // per-channel sums are exact integer functions of the generator
+      // (pixel(x,y) = (31x + 7y + seed) mod 2^24), so the oracle computes
+      // them from first principles — a decoder that fakes pixels cannot
+      // match 64 images × 3 channels. Corrupt bytes pin the -1 marker.
+      val rows = (0L until 64L).map { i =>
+        val w = 16 + (i % 21).toInt
+        val h = 16 + ((i * 7) % 13).toInt
+        val fmt = if (i % 2 == 0) "png" else "bmp"
+        Multimodal.MediaRow(i, Multimodal.syntheticImage(w, h, seed = i, fmt), s"image/$fmt")
+      } :+ Multimodal.MediaRow(999L, Array[Byte](1, 2, 3), "image/png")
+      Multimodal.resizeStats(s.createDataset(rows), outW = 4, outH = 4).toDF()
+        .select(col("doc_id"), col("w_in").cast("long").as("w_in"),
+          col("h_in").cast("long").as("h_in"),
+          col("r_sum"), col("g_sum"), col("b_sum"))
+        .orderBy("doc_id")
+    }),
+
     "m04_audio_meta" -> ((s, _) => {
       import s.implicits._
       // REAL audio codec leg (the m03 move applied to the audio stub):
@@ -3072,6 +3092,25 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, adc6, sim6, rank::BIGINT AS rank
          |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+
+    "m06_image_resize" ->
+      // pixel(x,y) = (31x + 7y + seed) mod 2^24; the 4×4 NN subsample reads
+      // src(x·(w//4), y·(h//4)); channel extraction is pure integer
+      // arithmetic (r = v//65536 %256, g = v//256 %256, b = v %256)
+      """WITH docs AS (SELECT i FROM unnest(range(64)) u(i)),
+        |dims AS (SELECT i, 16 + (i % 21) AS w, 16 + ((i * 7) % 13) AS h FROM docs),
+        |px AS (SELECT i, w, h,
+        |  (x * (w // 4) * 31 + y * (h // 4) * 7 + i) % 16777216 AS v
+        |  FROM dims CROSS JOIN unnest(range(4)) ux(x) CROSS JOIN unnest(range(4)) uy(y)),
+        |s AS (SELECT i AS doc_id, w AS w_in, h AS h_in,
+        |  sum((v // 65536) % 256)::BIGINT AS r_sum,
+        |  sum((v // 256) % 256)::BIGINT AS g_sum,
+        |  sum(v % 256)::BIGINT AS b_sum
+        |  FROM px GROUP BY i, w, h)
+        |SELECT doc_id::BIGINT AS doc_id, w_in::BIGINT AS w_in, h_in::BIGINT AS h_in,
+        |  r_sum, g_sum, b_sum FROM s
+        |UNION ALL SELECT 999, -1, -1, -1, -1, -1
+        |ORDER BY doc_id""".stripMargin,
 
     "m01_media_meta" ->
       """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,

@@ -282,6 +282,46 @@ object Multimodal {
     out.toByteArray
   }
 
+  final case class PixelStats(doc_id: Long, w_in: Int, h_in: Int,
+      w_out: Int, h_out: Int, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL pixel path — decode + resize (the feature-extract leg of the
+    * multimodal contract, pure JDK): ImageIO decodes the full pixel grid,
+    * the resize is a nearest-neighbor grid subsample
+    * `dst(x, y) = src(x·(w div outW), y·(h div outH))` (explicit integer
+    * sampling — no interpolation, so the resized pixels are exact
+    * functions of the source and an oracle can pin them from the
+    * generator), and the emitted record carries per-channel sums of the
+    * resized image. Undecodable or too-small payloads yield the explicit
+    * all-(-1) failure marker, never fake numbers. Per-row `map` over
+    * opaque bytes — the one shape codecs force. */
+  def resizeStats(ds: Dataset[MediaRow], outW: Int, outH: Int): Dataset[PixelStats] = {
+    import ds.sparkSession.implicits._
+    ds.map { r =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth < outW || img.getHeight < outH)
+        PixelStats(r.doc_id, -1, -1, -1, -1, -1L, -1L, -1L)
+      else {
+        val fx = img.getWidth / outW
+        val fy = img.getHeight / outH
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) {
+            val v = img.getRGB(x * fx, y * fy)
+            rs += (v >> 16) & 0xff; gs += (v >> 8) & 0xff; bs += v & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        PixelStats(r.doc_id, img.getWidth, img.getHeight, outW, outH, rs, gs, bs)
+      }
+    }
+  }
+
   /** Build a media table from any table with a string payload column —
     * the test harness's way of getting realistic binary data without
     * binary fixtures. */
