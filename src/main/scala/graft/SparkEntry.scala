@@ -1196,6 +1196,23 @@ object SparkEntry {
         .orderBy("window_start")
     }),
 
+    "st09_stream_sessionize" -> ((s, dir) => {
+      // gap sessionization as CUSTOM STREAM STATE (flatMapGroupsWithState +
+      // event-time timeout, O(1) state per key): sessions closed by later
+      // events emit in-batch; each key's open tail emits via timeout iff
+      // the final watermark passed end+gap — the oracle replays the exact
+      // same predicate over the batch sessionization. gap 1777 s is chosen
+      // off the 1800 s watermark delay so no timeout ever ties the
+      // watermark at ms precision.
+      val stream = stagedEventStream(s, dir, "st09_events")
+      runToMemorySink(s, graft.streaming.StreamingValidate
+          .sessionizeStream(stream, "user_id", "ts", "event_id",
+            gapSeconds = 1777L, watermark = "30 minutes").toDF(), "st09_sink")
+        .select(col("key").as("user_id"), col("start_us"), col("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     "st08_stream_interval_join" -> ((s, dir) => {
       // stream-stream event-time interval join as a REAL stream (same
       // replay harness): view → purchase attribution within 1 hour per
@@ -3156,6 +3173,27 @@ object SparkEntry {
         | CASE WHEN sum(failed) = 0 THEN 'pass' ELSE 'fail' END AS verdict
         |FROM w, mx WHERE ws + 3600 <= epoch(m) - 1800
         |GROUP BY ws ORDER BY ws""".stripMargin,
+
+    "st09_stream_sessionize" ->
+      // q11's session CTEs at gap 1777 s; last session per key gated by the
+      // timeout predicate (end+gap in ms, strictly below final watermark)
+      """WITH g AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |  CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |            > 1777000000
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS session_idx FROM g),
+        |agg AS (SELECT user_id, session_idx, count(*) AS n_events,
+        |        min(us) AS start_us, max(us) AS end_us
+        |        FROM s GROUP BY user_id, session_idx),
+        |mx AS (SELECT max(epoch_ms(ts)) - 1800000 AS wm_ms FROM events),
+        |last AS (SELECT user_id, max(session_idx) AS mi FROM agg GROUP BY user_id)
+        |SELECT agg.user_id, start_us, end_us, n_events
+        |FROM agg JOIN last USING (user_id) CROSS JOIN mx
+        |WHERE session_idx < mi OR (end_us + 1777000000) // 1000 < wm_ms
+        |ORDER BY agg.user_id, start_us""".stripMargin,
 
     "st08_stream_interval_join" ->
       // inner stream-stream pairs = the batch self-join, no window closing

@@ -100,6 +100,72 @@ object StreamingValidate {
         when(col("n_failed") === 0, "pass").otherwise("fail").as("verdict"))
   }
 
+  final case class SessEvent(key: Long, ts: java.sql.Timestamp, eid: Long)
+  final case class OpenSession(startUs: Long, endUs: Long, n: Long)
+  final case class SessionRow(key: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Gap sessionization as CUSTOM STREAM STATE — [[graft.pipeline.Sessions]]
+    * re-expressed with `flatMapGroupsWithState` + event-time timeout: per
+    * key the state is ONE open session (start/end/count — O(1), never the
+    * events); a batch's events fold in (ts, eid) order, closing and
+    * emitting every session a later event ends, and the surviving open
+    * session arms an event-time timeout at `end + gap` — when the
+    * watermark passes it, the residual session emits and the state drops.
+    * Microsecond-exact integer time arithmetic (same `unix_micros` domain
+    * as the batch operator), so session boundaries are engine-portable.
+    *
+    * Determinism contract for the oracle replay (single-file AvailableNow
+    * source → one data micro-batch + the trailing watermark batch): every
+    * session EXCEPT a key's last emits unconditionally; the last emits iff
+    * its timeout (`(end_us + gap·10⁶) div 1000` ms) is strictly below the
+    * final watermark (`max event ms − delay`). Across multiple batches the
+    * same sessions emit, just earlier — the state machine is
+    * batch-boundary-agnostic. */
+  def sessionizeStream(stream: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long, watermark: String): Dataset[SessionRow] = {
+    import stream.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    val keyed = stream.withWatermark(tsCol, watermark)
+      .select(col(keyCol).cast("long").as("key"),
+        // NO cast on ts: re-wrapping strips the event-time watermark tag
+        col(tsCol).as("ts"),
+        col(idCol).cast("long").as("eid"))
+      .as[SessEvent].groupByKey(_.key)
+    keyed.flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (key: Long, rows: Iterator[SessEvent], state: GroupState[OpenSession]) => {
+        if (state.hasTimedOut) {
+          val s = state.get; state.remove()
+          Iterator.single(SessionRow(key, s.startUs, s.endUs, s.n))
+        } else {
+          val evs = rows.toArray.sortBy(e => (usOf(e.ts), e.eid))
+          var open = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+          evs.foreach { e =>
+            val t = usOf(e.ts)
+            open match {
+              case Some(s) if t - s.endUs <= gapUs =>
+                open = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1))
+              case Some(s) =>
+                out += SessionRow(key, s.startUs, s.endUs, s.n)
+                open = Some(OpenSession(t, t, 1L))
+              case None =>
+                open = Some(OpenSession(t, t, 1L))
+            }
+          }
+          open.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(math.max((s.endUs + gapUs) / 1000L,
+              state.getCurrentWatermarkMs() + 1))
+          }
+          out.iterator
+        }
+      })
+  }
+
   /** Stream-stream event-time interval join — the remaining structured-
     * streaming join face: pairs each `fromType` event with the same key's
     * `toType` events landing within `(ts, ts + horizonSeconds]` (conversion

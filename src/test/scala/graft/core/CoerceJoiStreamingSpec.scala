@@ -125,6 +125,41 @@ class CoerceJoiStreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization: sessions merge across micro-batches, tail emits on timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("user_id", "ts", "event_id")
+    val out = StreamingValidate.sessionizeStream(df, "user_id", "ts", "event_id",
+      gapSeconds = 60L, watermark = "1 second")
+    val q = out.toDF().writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      // batch 1: two events of one session for key 1
+      input.addData((1L, t("2024-01-01 00:00:00"), 1L), (1L, t("2024-01-01 00:00:30"), 2L))
+      q.processAllAvailable()
+      // batch 2: CONTINUES the same session (gap 30 s < 60 s) across the
+      // batch boundary, then a 2nd session after a 10-minute gap
+      input.addData((1L, t("2024-01-01 00:01:00"), 3L), (1L, t("2024-01-01 00:11:00"), 4L))
+      q.processAllAvailable()
+      // batch 3: another key far in the future pushes the watermark past
+      // every open timeout → key 1's tail session emits via timeout
+      input.addData((2L, t("2024-01-01 06:00:00"), 5L))
+      q.processAllAvailable()
+      input.addData((2L, t("2024-01-01 12:00:00"), 6L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("key", "start_us", "end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      def us(s: String) = t(s).getTime * 1000L
+      // the batch-1+2 session is ONE session of 3 events, not two fragments
+      assert(rows.contains((1L, us("2024-01-01 00:00:00"), us("2024-01-01 00:01:00"), 3L)))
+      // the 10-minute-later single-event tail emitted via timeout
+      assert(rows.contains((1L, us("2024-01-01 00:11:00"), us("2024-01-01 00:11:00"), 1L)))
+    } finally q.stop()
+  }
+
   test("streaming: row-local violations flow through a stream unchanged") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
