@@ -109,11 +109,15 @@ object StreamingValidate {
 
   /** Gap sessionization as CUSTOM STREAM STATE — [[graft.pipeline.Sessions]]
     * re-expressed with `flatMapGroupsWithState` + event-time timeout: per
-    * key the state is ONE open session (start/end/count — O(1), never the
-    * events); a batch's events fold in (ts, eid) order, closing and
-    * emitting every session a later event ends, and the surviving open
+    * key the STORED state is ONE open session (start/end/count — O(1),
+    * never the events); a batch's events fold in (ts, eid) order, closing
+    * and emitting every session a later event ends, and the surviving open
     * session arms an event-time timeout at `end + gap` — when the
     * watermark passes it, the residual session emits and the state drops.
+    * The transient per-invocation buffer is one key's events of ONE
+    * micro-batch (the sort needs them; the checkpoint never sees them) —
+    * a hot key costs its per-batch row count in executor heap, the
+    * standard flatMapGroupsWithState envelope.
     * Microsecond-exact integer time arithmetic (same `unix_micros` domain
     * as the batch operator), so session boundaries are engine-portable.
     *
