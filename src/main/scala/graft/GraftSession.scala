@@ -26,6 +26,15 @@ object GraftSession {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE post-shuffle coalescing floor: this engine's per-byte CPU cost
+      // is high (compiled validation expressions, regex tokenization,
+      // md5-portable hashing), so the default 1 MB minimum collapses most
+      // reduce stages of the test corpora to 1-5 tasks and serializes the
+      // expensive work. 64 KB keeps coalescing on (parallelismFirst still
+      // targets defaultParallelism partitions) while letting CPU-bound
+      // stages use the full width; on production-sized shuffles partitions
+      // are far above either floor and this is a no-op.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.optimizer.excludedRules", ExcludedRules)

@@ -25,7 +25,50 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    scanFloor(s, s.read.parquet(s"$dir/$name.parquet"), s"$dir/$name.parquet")
+
+  /** [[t]] WITHOUT the scan-parallelism floor — for queries that are pure
+    * sketch/counter aggregations over the scan (count_distinct, HLL,
+    * percentile, histogram counters): there the partial aggregation ships
+    * only AGGREGATION BUFFERS across the exchange, while a pre-repartition
+    * would ship the raw rows themselves — rows ≫ buffers, so the floor is
+    * pure shuffle loss (guide §2.3 "aggregate before you shuffle";
+    * measured: v44 2.3 s vs 4.6 s with the floor). Expression-heavy scans
+    * (validation packs, tokenization, hashing) keep the floor — their
+    * per-row CPU dwarfs the one extra row shuffle. */
+  private def tNoFloor(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Scan-parallelism floor (guide §2.5, "input skew: one huge unsplittable
+    * file … repartition immediately after the read"): the test tables are
+    * single-row-group parquet files, so a bare scan plans ONE effective
+    * task and every expression that rides it (regex tokenization, md5
+    * fingerprints, compiled rule packs) runs on one core regardless of
+    * cluster width. When the file layout yields fewer scan tasks than the
+    * session's parallelism, round-robin repartition right after the read:
+    * the exchange moves each byte once (cheap filters still push BELOW it,
+    * pruning/pushdown verified by PlanAuditSpec) and every downstream
+    * stage runs at full width. REPARTITION_BY_NUM is exempt from AQE
+    * coalescing, so the width sticks. On a production many-file table the
+    * scan already splits past the floor and this adds NO exchange — the
+    * condition is derived from the plan, not tuned to local mode. */
+  private def scanFloor(s: SparkSession, df: DataFrame, path: String): DataFrame = {
+    if (!ScanFloorEnabled) return df
+    val target = s.sparkContext.defaultParallelism
+    // width the scan could reach at the most generous split size — pure
+    // file-metadata arithmetic (planning an RDD here costs ~0.1 s per call)
+    val bytes =
+      try java.nio.file.Files.size(java.nio.file.Paths.get(path))
+      catch { case _: java.io.IOException => Long.MaxValue }
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    val reachableTasks = (bytes + maxSplit - 1) / maxSplit
+    if (reachableTasks < target) df.repartition(target) else df
+  }
+
+  /** A/B switch for [[scanFloor]] (`GRAFT_SCAN_FLOOR=0` disables) — used to
+    * record the floor's effect in OPTIMIZATION_r06.md and as the opt-out
+    * for inputs whose layout is known-good. */
+  private val ScanFloorEnabled = sys.env.getOrElse("GRAFT_SCAN_FLOOR", "1") != "0"
 
   /** decimal-exact sum of a double expression, rounded and emitted as
     * double: `round(sum(CAST(x AS DECIMAL(20,4))),2)::DOUBLE`. */
@@ -38,8 +81,10 @@ object SparkEntry {
     * 50,000), so Spark and the DuckDB oracle materialize the identical
     * token corpus; the token-domain dedup family (p29-p31) runs on it
     * natively, no text reconstruction. */
-  private def tokenizedDocs(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
+  private def tokenizedDocs(s: SparkSession, dir: String,
+      floor: Boolean = true): DataFrame =
+    (if (floor) t(s, dir, "documents") else tNoFloor(s, dir, "documents"))
+      .select(col("doc_id"),
         transform(graft.pipeline.TextAnalysis.words(col("text")),
           w => pmod(Dedup.md5Hash32(w, 0), lit(50000L)).cast("int")).as("tokens"),
         col("source"))
@@ -216,11 +261,11 @@ object SparkEntry {
 
     "v01_rule_counts_lineitem" -> ((s, dir) =>
       Violations.ruleCounts(
-        Violations.validate(t(s, dir, "lineitem"), lineitemPack, Seq("l_orderkey")))
+        Violations.validate(tNoFloor(s, dir, "lineitem"), lineitemPack, Seq("l_orderkey")))
         .orderBy("path", "rule_id")),
 
     "v02_violation_rows_orders" -> ((s, dir) =>
-      Violations.validate(t(s, dir, "orders"), ordersPack, Seq("o_orderkey"))
+      Violations.validate(tNoFloor(s, dir, "orders"), ordersPack, Seq("o_orderkey"))
         .select("o_orderkey", "path", "rule_id", "observed")
         .orderBy("o_orderkey", "path")),
 
@@ -248,7 +293,7 @@ object SparkEntry {
     "v03_unique_dup_keys" -> ((s, dir) =>
       // hash-first scale path; result identical to the direct groupBy (and
       // to the oracle's GROUP BY … HAVING)
-      Uniqueness.duplicateKeysHashed(t(s, dir, "lineitem"), Seq("l_orderkey"))
+      Uniqueness.duplicateKeysHashed(tNoFloor(s, dir, "lineitem"), Seq("l_orderkey"))
         .orderBy("l_orderkey")),
 
     "v35_string_battery" -> ((s, dir) => {
@@ -549,7 +594,7 @@ object SparkEntry {
       // sketched ones landed within 0.01 absolute (measured gap at sf0.01
       // is ~2.5e-4 — 40× headroom; TDigestSpec pins the tracking law on a
       // strongly-drifted fixture where PSI > 0.2)
-      val li = t(s, dir, "lineitem")
+      val li = tNoFloor(s, dir, "lineitem")
       val ref = li.where(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       val cur = li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
       val (c, lo, hi, bins) = ("l_extendedprice", 900.0, 105000.0, 20)
@@ -617,7 +662,7 @@ object SparkEntry {
       // the expected decode from the same words, so a delimiter slip in
       // any style family breaks the hash
       import graft.functions.ParamStyles._
-      val p = t(s, dir, "part").where(col("p_partkey") <= 200)
+      val p = tNoFloor(s, dir, "part").where(col("p_partkey") <= 200)
         .select(col("p_partkey"), split(col("p_name"), " ").as("ws"), col("p_name"))
       def arrCase(kase: String, enc: Column, dec: Column => Column): DataFrame =
         p.select(col("p_partkey"), lit(kase).as("kase"), posexplode(dec(enc)))
@@ -671,8 +716,8 @@ object SparkEntry {
         .orderBy("path", "rule_id")),
 
     "v04_referential_missing" -> ((s, dir) => {
-      val dim = t(s, dir, "customer").where(col("c_custkey") < 100)
-      Referential.violations(t(s, dir, "events"), "user_id", dim, "c_custkey")
+      val dim = tNoFloor(s, dir, "customer").where(col("c_custkey") < 100)
+      Referential.violations(tNoFloor(s, dir, "events"), "user_id", dim, "c_custkey")
         .select("user_id").distinct().orderBy("user_id")
     }),
 
@@ -684,13 +729,13 @@ object SparkEntry {
     }),
 
     "v06_profile_lineitem" -> ((s, dir) =>
-      ColumnStats.profile(t(s, dir, "lineitem"),
+      ColumnStats.profile(tNoFloor(s, dir, "lineitem"),
           Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus"))
         .withColumnRenamed("column", "col_name")
         .orderBy("col_name")),
 
     "v07_drift_hist_quantity" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tNoFloor(s, dir, "lineitem")
       val first = Drift.histogram(li.where(col("l_shipdate") < lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
       val second = Drift.histogram(li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
       first.withColumnRenamed("n", "n_ref")
@@ -700,14 +745,14 @@ object SparkEntry {
     }),
 
     "v08_drift_psi_quantity" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tNoFloor(s, dir, "lineitem")
       val first = Drift.histogram(li.where(col("l_shipdate") < lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
       val second = Drift.histogram(li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
       Drift.psi(first, second).select(round(col("psi"), 6).as("psi"))
     }),
 
     "v13_drift_kl" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tNoFloor(s, dir, "lineitem")
       val first = Drift.histogram(li.where(col("l_shipdate") < lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
       val second = Drift.histogram(li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
       Drift.kl(first, second).select(round(col("kl"), 6).as("kl"))
@@ -716,7 +761,7 @@ object SparkEntry {
     "v15_drift_js" -> ((s, dir) => {
       // Jensen–Shannon over the same split as v13 — the bounded symmetric
       // member of the drift family (PSI v08, KL v13, JS here)
-      val li = t(s, dir, "lineitem")
+      val li = tNoFloor(s, dir, "lineitem")
       val first = Drift.histogram(li.where(col("l_shipdate") < lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
       val second = Drift.histogram(li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")), "l_quantity", 1, 51, 10)
       Drift.js(first, second).select(round(col("js"), 6).as("js"))
@@ -759,7 +804,7 @@ object SparkEntry {
         "O" -> Properties(Seq("o_totalprice" -> Maximum(400000))),
         "F" -> Properties(Seq("o_totalprice" -> Maximum(450000))),
         "P" -> Properties(Seq("o_totalprice" -> Maximum(300000)))))
-      Violations.validate(t(s, dir, "orders"), rule, Seq("o_orderkey"))
+      Violations.validate(tNoFloor(s, dir, "orders"), rule, Seq("o_orderkey"))
         .select("o_orderkey", "path", "rule_id")
         .orderBy("o_orderkey")
     }),
@@ -929,7 +974,7 @@ object SparkEntry {
     "s02_ann_lsh" -> ((s, dir) =>
       // AND-OR amplified: 3 tables × 6 bits (64 buckets/table) — candidate
       // volume governed by bucket occupancy, never N²
-      Similarity.topKLsh(t(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
+      Similarity.topKLsh(tNoFloor(s, dir, "embeddings"), "vec_id", "embedding", k = 5,
           tables = 3, bitsPerTable = 6, dims = Some(64))
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("sim6"),
           col("rank").cast("long").as("rank"))
@@ -1029,7 +1074,7 @@ object SparkEntry {
       // the first non-centroid ids); per-(query,cell) ADC tables on the
       // query residual; top-20 re-rank exactly. The production 100 TB ANN
       // shape: scan cost ≈ N·nprobe/nlist over a 32×-smaller artifact.
-      val emb = t(s, dir, "embeddings")
+      val emb = tNoFloor(s, dir, "embeddings")
       Similarity.topKIvfPq(emb.where(col("vec_id") < 8), emb, "vec_id", "embedding",
           dims = 64, k = 5, nlist = 16, nprobe = 4, shortlist = 20)
         .select(col("query_id"), col("neighbor_id"),
@@ -1187,7 +1232,7 @@ object SparkEntry {
       // customer-key dimension (keys % 7 == 0 withheld to force missing
       // refs), watermark-closed hourly windows emit exact counters
       val stream = stagedEventStream(s, dir, "st07_events")
-      val dim = t(s, dir, "customer").where(pmod(col("c_custkey"), lit(7)) =!= 0)
+      val dim = tNoFloor(s, dir, "customer").where(pmod(col("c_custkey"), lit(7)) =!= 0)
       runToMemorySink(s, graft.streaming.StreamingValidate
           .windowedReferential(stream, dim, "user_id", "c_custkey",
             "ts", "1 hour", "30 minutes"), "st07_sink")
@@ -1432,7 +1477,7 @@ object SparkEntry {
       // stage JOINS are oracle-pinned (an off-by-one between n_tok and the
       // packed layout cannot hide); checksum pins each doc's exact id
       // sequence through the chain
-      val docs = t(s, dir, "documents")
+      val docs = tNoFloor(s, dir, "documents")
       val vocab = Vocab.buildVocabulary(docs, "text", topN = 200)
       val ids = Vocab.applyVocabulary(docs, "doc_id", "text", vocab, oovId = Some(-1L))
       Packing.packSequences(ids, "id", "n_tok", budget = 1024L)
@@ -1553,7 +1598,7 @@ object SparkEntry {
       // snapshot plants a new enum value (lang 'xx' on doc_id % 97), nulls
       // in source (% 50), and one widened n_chars outlier (doc 0); the
       // report's enum deltas / null counts / bounds flag exactly those
-      val docs = t(s, dir, "documents")
+      val docs = tNoFloor(s, dir, "documents")
       val newSnap = docs
         .withColumn("lang",
           when(pmod(col("doc_id"), lit(97)) === 0, lit("xx")).otherwise(col("lang")))
@@ -1571,7 +1616,7 @@ object SparkEntry {
       // first pack derives from (types from schema, bounds from data,
       // enums for low-cardinality strings); the infer() law — the pack
       // validates its own corpus violation-free — is spec-pinned
-      PackInference.inferredProfile(t(s, dir, "documents"),
+      PackInference.inferredProfile(tNoFloor(s, dir, "documents"),
           Seq("doc_id", "lang", "source", "n_chars"), enumThreshold = 16)
         .orderBy("column")),
 
@@ -1595,7 +1640,7 @@ object SparkEntry {
       // fully covered, planted 36-token excerpts (+200000) mostly covered,
       // originals untouched (they hold every winner); merged-span counts
       // and the md5 of each surviving token stream pin the transformation
-      val toks = tokenizedDocs(s, dir).select("doc_id", "tokens")
+      val toks = tokenizedDocs(s, dir, floor = false).select("doc_id", "tokens")
       val base = toks.where(col("doc_id") < 50)
       val copies = base.withColumn("doc_id", col("doc_id") + lit(100000L))
       val excerpts = toks
@@ -1853,7 +1898,7 @@ object SparkEntry {
           |    enum: ["O", "F"]
           |required: ["l_orderkey", "l_partkey"]""".stripMargin)
       Violations.ruleCounts(
-        Violations.validate(t(s, dir, "lineitem"), pack, Seq("l_orderkey")))
+        Violations.validate(tNoFloor(s, dir, "lineitem"), pack, Seq("l_orderkey")))
         .orderBy("path", "rule_id")
     }),
 
@@ -1896,7 +1941,7 @@ object SparkEntry {
     "v28_skew_report" -> ((s, dir) =>
       // the measurement behind the broadcast/shuffle/SALT ladder: heaviest
       // join keys and their row share (v05's salting is the remedy)
-      Referential.keySkewReport(t(s, dir, "events"), "user_id", k = 10)
+      Referential.keySkewReport(tNoFloor(s, dir, "events"), "user_id", k = 10)
         .select(col("user_id"), col("n"), round(col("share"), 6).as("share6"))
         .orderBy(col("n").desc, col("user_id"))),
 
@@ -1911,7 +1956,7 @@ object SparkEntry {
           |  "properties": {
           |    "o_orderstatus": {"$ref": "#/$defs/status"},
           |    "o_orderpriority": {"pattern": "^[1-3]-"}}}""".stripMargin)
-      Violations.validate(t(s, dir, "orders"), pack, Seq("o_orderkey"))
+      Violations.validate(tNoFloor(s, dir, "orders"), pack, Seq("o_orderkey"))
         .select("o_orderkey", "path", "rule_id", "observed")
         .orderBy("o_orderkey", "path")
     }),
@@ -1974,7 +2019,7 @@ object SparkEntry {
       // EXACT per-group percentiles (R-7 interpolation in both engines) —
       // the oracle-checkable twin of the profile's percentile_approx KLL
       // sketch, which stays the at-scale path (mergeable, one-pass)
-      t(s, dir, "lineitem")
+      tNoFloor(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.95D))").as("q"))
         .select(col("l_returnflag"),
