@@ -983,8 +983,10 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"),
           round(Similarity.dot(col("qv"), col("cv")) /
             nullif(col("qn") * col("cn"), lit(0.0)), 6).as("sim6"))
-      val w = Window.partitionBy("query_id").orderBy(col("sim6").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long")).where(col("rank") <= 5)
+      // K-bounded heap top-k (no per-query window sort of the scored corpus)
+      Similarity.topKPerQuery(scored, "query_id", "sim6", "neighbor_id", 5, asc = false)
+        .select(col("query_id"), col("neighbor_id"), col("sim6"),
+          col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
     }),
 

@@ -335,6 +335,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), "PQ path should never sort-merge at this shape")
   }
 
+  test("ANN top-k rides the K-bounded heap aggregate, not a per-query window sort") {
+    // the r5 scale-killer (VERDICT "What's wrong #1"): row_number over
+    // Window.partitionBy(query_id) sorts EVERY scored candidate of a query
+    // in one task — for s09's exhaustive ADC scan that is the whole corpus
+    // per query. The shortlist stage must be the TopKByScore aggregate
+    // (partial phase keeps <= K rows per query per map task); the only
+    // windows left are provably bounded inputs (codebook seeds = ksub rows,
+    // probe ranking = |queries| x nlist, re-rank = shortlist per query).
+    for ((q, maxWindows) <- Seq(
+        "s01_ann_bruteforce" -> 0, "s02_ann_lsh" -> 1 /* bucket-cap only */,
+        "s04_ann_ivf" -> 1 /* probe */, "s06_ann_sq8" -> 1 /* re-rank */,
+        // the codebook's ksub-row seed window appears twice (its subtree is
+        // referenced by both the encode and the distance-table legs)
+        "s09_ann_pq" -> 3 /* codebook x2 + re-rank */,
+        "s10_ann_ivfpq" -> 4 /* codebook x2 + probe + re-rank */)) {
+      val plan = planString(SparkEntry.queries(q)(spark, dir))
+      assert(plan.contains("topk_by_score"), s"$q lost the heap-aggregate top-k")
+      val windows = "\\bWindow\\b".r.findAllIn(plan).size
+      assert(windows <= maxWindows,
+        s"$q plans $windows Window nodes (max $maxWindows) — a corpus-wide sort is back")
+    }
+  }
+
   test("p44/p45: zipf top-ranks is a TakeOrdered (no vocab-wide window); incremental dedup is window-free") {
     val zipf = SparkEntry.queries("p44_zipf_fit")(spark, dir)
     zipf.collect()

@@ -758,6 +758,34 @@ class PipelineSpec extends SparkSuite {
     assert(stats.where(col("n") > 30).count() === 1)
   }
 
+  test("IVF-PQ maxCellSize drops a degenerate hot cell; other cells still serve") {
+    // the r5 VERDICT gap: topKIvfPq had no hot-cell fence, so a clustered
+    // corpus concentrated codes.join(broadcast(dts), "cell") on one key.
+    // Same fixture as the IVF fence test: 60 identical vectors collapse
+    // into ONE cell; 20 diverse low-id vectors form centroids + healthy
+    // cells.
+    val one = emb001.where(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+    val clones = spark.range(60).select((col("id") + 1000L).as("vec_id"),
+      typedLit(one).as("embedding"))
+    val rest = emb001.where(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = clones.unionByName(rest)
+    val queries = clones.where(col("vec_id") === 1000L)
+    val uncapped = Similarity.topKIvfPq(queries, corpus, "vec_id", "embedding",
+      dims = 64, k = 5, nlist = 4, nprobe = 4, shortlist = 20)
+    val capped = Similarity.topKIvfPq(queries, corpus, "vec_id", "embedding",
+      dims = 64, k = 5, nlist = 4, nprobe = 4, shortlist = 20,
+      maxCellSize = Some(30))
+    // uncapped: the clone cell serves cosine-1.0 neighbors
+    assert(uncapped.where(col("cosine") > 0.999).count() > 0)
+    // capped: the 60-deep cell is dropped from the code index entirely …
+    assert(capped.where(col("neighbor_id") >= 1000L).count() === 0)
+    // … but healthy cells still answer
+    assert(capped.count() > 0)
+    // the fence is the broadcast anti-join, not a new full-data exchange
+    assert(capped.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
+  }
+
   test("IVF: a duplicated vector is found at rank 1 through its probed cell") {
     val base = emb001.select(col("vec_id"), col("embedding"))
     val dup = base.where(col("vec_id") === 0)
