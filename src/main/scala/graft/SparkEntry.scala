@@ -519,12 +519,13 @@ object SparkEntry {
       // (measured 82 s vs 2.6 s at sf0.1). Split, each plan is clean:
       // Expand for the exact trio, three global HLL buffers for the
       // approx trio.
-      // The two legs' scan+repartition subtrees are NOT stage-reused by
-      // AQE (the broadcast-side leg plans separately — measured 2 parquet
-      // scans), so the projected key columns materialize ONCE via
-      // localCheckpoint (within this invocation only; every run recomputes
-      // from parquet) and both aggregations read the cached 3-column rows.
-      val li = t(s, dir, "lineitem").select(cols.map(col): _*).localCheckpoint()
+      // No scan floor here: both legs are global aggregations whose
+      // partial buffers (distinct sets, HLL sketches) are what crosses the
+      // exchange — a pre-repartition ships the raw key rows instead
+      // (measured 2.3 s plain vs 4.6 s floored; a localCheckpoint variant
+      // sharing one materialized scan between the legs was worse still in
+      // the cold suite, 12.9 s).
+      val li = tNoFloor(s, dir, "lineitem").select(cols.map(col): _*)
       val exactAggs = cols.map(c => count_distinct(col(c)).as(s"${c}__e"))
       val approxAggs = cols.map(c => approx_count_distinct(col(c), 0.01).as(s"${c}__a"))
       val row = li.agg(exactAggs.head, exactAggs.tail: _*)
