@@ -166,6 +166,37 @@ class SnapshotStore(root: String, spark: SparkSession) {
     * column). */
   def read(): DataFrame = spark.read.parquet(dataPath)
 
+  /** Hash-bucketed snapshot write — uniqueness at the shuffle floor
+    * (guide §2.4 "bucketed tables persist a partitioning across jobs").
+    * The 100 M-row audit showed exact-key uniqueness as the costliest leg
+    * of a repeat validation run: every key crosses one exchange per run,
+    * inherent for an UNBUCKETED snapshot. Writing the snapshot bucketed by
+    * the key (catalog-managed Spark bucketed layout — the Iceberg
+    * bucket-spec analog this layer stands in for) persists the hash
+    * clustering on disk, so every later `groupBy(key)` /
+    * `duplicateKeys` / same-spec key join over [[readBucketed]] plans with
+    * NO Exchange at all — the shuffle is paid once at write time and
+    * amortized over every rerun. `sortBy` additionally orders each bucket
+    * file so min/max row-group stats stay selective on the key.
+    *
+    * Caveats: bucketed writes require a catalog table (`saveAsTable`),
+    * and the no-shuffle read needs the reader's
+    * `spark.sql.sources.bucketing.enabled` (default true). Pick
+    * `numBuckets` so each bucket lands near the 128 MB-1 GB file band at
+    * production volume. */
+  def writeBucketed(df: DataFrame, table: String, keyCols: Seq[String],
+      numBuckets: Int): Unit = {
+    require(keyCols.nonEmpty && numBuckets > 0)
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, keyCols.head, keyCols.drop(1): _*)
+      .sortBy(keyCols.head, keyCols.drop(1): _*)
+      .saveAsTable(table)
+  }
+
+  /** Catalog read of a [[writeBucketed]] snapshot — key-clustered scans
+    * (the bare path read would discard the bucket spec). */
+  def readBucketed(table: String): DataFrame = spark.table(table)
+
   /** Lineage/metrics table from the manifest: `(partition, n_rows)`. */
   def lineage(snapshotId: String): DataFrame = {
     import spark.implicits._

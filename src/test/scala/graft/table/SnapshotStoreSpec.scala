@@ -88,6 +88,38 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(!m.completed.contains("9"))
   }
 
+  test("bucketed snapshot: uniqueness plans with NO exchange and matches the plain layout") {
+    // the r5 VERDICT shuffle-floor item: a snapshot written bucketed by the
+    // key lets every repeat-validation uniqueness pass reuse the persisted
+    // hash clustering — groupBy(key) over the bucketed read must plan ZERO
+    // Exchange nodes, and the answers must be identical to the unbucketed
+    // path
+    val root = Files.createTempDirectory("snap-bucketed").toString
+    val store = new SnapshotStore(root, spark)
+    import spark.implicits._
+    // planted duplicates: ids 0..49 appear twice (1000 rows mod 950), rest once
+    val df = spark.range(1000).select((col("id") % 950).as("doc_id"),
+      (col("id") % 7).as("v"))
+    val table = "snap_bucketed_spec"
+    store.writeBucketed(df, table, Seq("doc_id"), numBuckets = 8)
+    val bucketed = store.readBucketed(table)
+
+    val dupB = graft.global.Uniqueness.duplicateKeys(bucketed, Seq("doc_id"))
+    dupB.collect()
+    val plan = dupB.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed uniqueness still shuffles:\n$plan")
+    assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+      "scan did not use the bucket spec")
+
+    val dupPlain = graft.global.Uniqueness.duplicateKeys(df, Seq("doc_id"))
+    val got = dupB.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val want = dupPlain.as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+    assert(got.size === 50) // ids 0..49 under %950 folding appear twice
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("manifest json round-trips") {
     val m = SnapshotManifest("s1", Some("s0"), Map("a" -> 10L, "b" -> 20L))
     assert(SnapshotManifest.fromJson(m.toJson) === m)
