@@ -295,7 +295,7 @@ object SparkEntry {
       // resume time (at scale the split is SnapshotStore's partition
       // manifest, and the committed side's counts come from its metrics
       // table, not a rescan); the merge is a per-rule counter union.
-      val li = t(s, dir, "lineitem")
+      val li = tNoFloor(s, dir, "lineitem")
       val committed = li.where(pmod(col("l_orderkey"), lit(5)) =!= 4)
       val delta = li.where(pmod(col("l_orderkey"), lit(5)) === 4)
       val oldC = Violations.ruleCounts(
