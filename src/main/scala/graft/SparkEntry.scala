@@ -323,7 +323,7 @@ object SparkEntry {
           |  "p_brand":{"const":"Brand#13"},
           |  "p_name":{"minLength":20,"maxLength":30}
           |}}""".stripMargin)
-      Violations.validate(t(s, dir, "part"), pack, Seq("p_partkey"))
+      Violations.validate(tNoFloor(s, dir, "part"), pack, Seq("p_partkey"))
         .select("p_partkey", "path", "rule_id", "message", "observed")
         .orderBy("p_partkey", "path", "rule_id")
     }),
@@ -406,7 +406,7 @@ object SparkEntry {
           |   "st": {"$anchor": "status", "enum": ["O", "F"]},
           |   "pr": {"$id": "sub/prio.json", "pattern": "^[1-3]-"}}
           |}""".stripMargin)
-      Violations.validate(t(s, dir, "orders"), pack, Seq("o_orderkey"))
+      Violations.validate(tNoFloor(s, dir, "orders"), pack, Seq("o_orderkey"))
         .select("o_orderkey", "path", "rule_id", "observed")
         .orderBy("o_orderkey", "path")
     }),
@@ -449,7 +449,7 @@ object SparkEntry {
       // Schema.pm:601-608); planted bad skus at p_partkey%9
       val reg = graft.functions.Formats.Registry(extra = Map(
         "sku" -> ((c: Column) => c.rlike("^[A-Z]{2}-\\d{4}$"))))
-      val df = t(s, dir, "part").select(col("p_partkey"),
+      val df = tNoFloor(s, dir, "part").select(col("p_partkey"),
         when(col("p_partkey") % 9 === 0,
             concat(lit("bad_"), col("p_partkey").cast("string")))
           .otherwise(format_string("PT-%04d", pmod(col("p_partkey"), lit(10000)))).as("sku"),
@@ -731,7 +731,7 @@ object SparkEntry {
       // most K rows per rule per map task); keyed on observed (not the
       // engine-rendered message) so the oracle replays the identical hash
       Violations.sampleViolations(
-          Violations.validate(t(s, dir, "orders"), ordersPack, Seq("o_orderkey")),
+          Violations.validate(tNoFloor(s, dir, "orders"), ordersPack, Seq("o_orderkey")),
           Seq("o_orderkey"), perRuleK = 5,
           keyCols = Seq("path", "rule_id", "observed"))
         .select(col("path"), col("rule_id"), col("n_violations"),
@@ -848,7 +848,7 @@ object SparkEntry {
       // coercion projection (reference coerce('numbers')): the JSON props
       // value arrives as a string; the strict JSON-number regex admits it
       // into a typed column, junk becomes NULL — non-mutating repair
-      val ev = t(s, dir, "events")
+      val ev = tNoFloor(s, dir, "events")
         .withColumn("k_str", regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1))
       val coerced = core.Coerce(ev.select(col("event_id"), col("k_str").as("k_num")),
         Map("k_num" -> core.Coerce.ToNumber))
@@ -1932,7 +1932,7 @@ object SparkEntry {
       // self-contained JSON document (Schema.pm:44-65 bundle semantics),
       // re-parse it, and the violations must still hash-match
       val bundled = rulepack.RulePackEncoder.encodeToJson(ordersPack)
-      Violations.validate(t(s, dir, "orders"), rulepack.RulePack.parse(bundled), Seq("o_orderkey"))
+      Violations.validate(tNoFloor(s, dir, "orders"), rulepack.RulePack.parse(bundled), Seq("o_orderkey"))
         .select("o_orderkey", "path", "rule_id", "observed")
         .orderBy("o_orderkey", "path")
     }),
@@ -1958,7 +1958,7 @@ object SparkEntry {
       val pack = joi.obj.props(
         "c_acctbal" -> joi.number.positive,
         "c_name" -> joi.string.pattern("^Customer#")).rule
-      Violations.validate(t(s, dir, "customer"), pack, Seq("c_custkey"))
+      Violations.validate(tNoFloor(s, dir, "customer"), pack, Seq("c_custkey"))
         .select("c_custkey", "path", "rule_id", "message", "observed")
         .orderBy("c_custkey", "path")
     }),
@@ -1989,7 +1989,7 @@ object SparkEntry {
     "v26_verdict_by_source" -> ((s, dir) =>
       // the north rule's headline output: per-data-partition pass/fail
       // verdicts — one partial-aggregated job, counters-only shuffle
-      Violations.verdictByPartition(t(s, dir, "documents"),
+      Violations.verdictByPartition(tNoFloor(s, dir, "documents"),
           Properties(Seq(
             "lang" -> Enum(Seq(core.JStr("en"), core.JStr("de"))),
             "n_chars" -> Maximum(500))), Some("source"))
