@@ -51,15 +51,19 @@ object SparkEntry {
     * stage runs at full width. REPARTITION_BY_NUM is exempt from AQE
     * coalescing, so the width sticks. On a production many-file table the
     * scan already splits past the floor and this adds NO exchange — the
-    * condition is derived from the plan, not tuned to local mode. */
+    * condition is derived from the file layout, not tuned to local mode. */
   private def scanFloor(s: SparkSession, df: DataFrame, path: String): DataFrame = {
     if (!ScanFloorEnabled) return df
     val target = s.sparkContext.defaultParallelism
     // width the scan could reach at the most generous split size — pure
-    // file-metadata arithmetic (planning an RDD here costs ~0.1 s per call)
+    // file-metadata arithmetic (planning an RDD here costs ~0.1 s per
+    // call); Hadoop FS API so hdfs:/s3a: inputs size correctly too, and
+    // any metadata failure falls safe to "wide enough" (no extra exchange)
     val bytes =
-      try java.nio.file.Files.size(java.nio.file.Paths.get(path))
-      catch { case _: java.io.IOException => Long.MaxValue }
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+      } catch { case _: Exception => Long.MaxValue }
     val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
     val reachableTasks = (bytes + maxSplit - 1) / maxSplit
     if (reachableTasks < target) df.repartition(target) else df
